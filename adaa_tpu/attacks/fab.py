@@ -1,0 +1,156 @@
+"""FAB — Fast Adaptive Boundary attack (minimal-norm), 2-class audio case.
+
+Behavioral equivalent of the reference's adapted FAB (reference:
+adversarial_attacks/torchattacks/attacks/fab.py:19-559). The 2-class
+single-logit structure collapses the per-class gradient loop
+(fab.py:90-112, two backward passes with a grad mask) into closed
+form: with widened logits (-z, z) and label y,
+
+    df = 2 z (1 - 2y),      dg = 2 (dz/dx) (1 - 2y)
+
+so each step costs one forward+backward (for z and dz/dx) plus one
+forward for the post-update prediction — the same FLOPs the torch
+version spends. The torch code's data-dependent subsetting ("runs only
+on correctly classified points", fab.py:153-159; best-norm bookkeeping
+fab.py:269-291) becomes fixed-shape masking, so the whole attack —
+including restarts — compiles to a single XLA program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu.attacks import core
+from adaa_tpu.attacks.fab_projections import (
+    projection_l1,
+    projection_l2,
+    projection_linf,
+)
+
+_DEFAULT_EPS = {"Linf": 0.3, "L2": 1.0, "L1": 5.0}
+_PROJ = {"Linf": projection_linf, "L2": projection_l2, "L1": projection_l1}
+_NORM_ORD = {"Linf": "linf", "L2": "l2", "L1": "l1"}
+
+
+def fab(
+    logits_fn: core.LogitsFn,
+    norm: str = "Linf",
+    eps: float = None,
+    steps: int = 100,
+    n_restarts: int = 1,
+    alpha_max: float = 0.1,
+    eta: float = 1.05,
+    beta: float = 0.9,
+    seed: int = 0,
+    targeted: bool = False,
+    n_classes: int = 2,
+    verbose: bool = False,
+) -> core.AttackFn:
+    del targeted, verbose  # registry uses untargeted only (aa_types.py:20-22)
+    assert n_classes == 2, "audio detectors are 2-class (single logit)"
+    eps = _DEFAULT_EPS[norm] if eps is None else eps
+    proj = _PROJ[norm]
+    ord_name = _NORM_ORD[norm]
+
+    def z_and_grad(x):
+        def zsum(xx):
+            z = logits_fn(xx).squeeze(-1)
+            return z.sum(), z
+
+        (_, z), g = jax.value_and_grad(zsum, has_aux=True)(x)
+        return z, g
+
+    def predict(x):
+        return (logits_fn(x).squeeze(-1) > 0).astype(jnp.int32)
+
+    def _rand_start(key, im2, res2):
+        b = im2.shape[0]
+        shape1 = (b,) + (1,) * (im2.ndim - 1)
+        radius = jnp.minimum(res2, eps).reshape(shape1)
+        if norm == "Linf":
+            t = 2.0 * jax.random.uniform(key, im2.shape, im2.dtype) - 1.0
+            denom = jnp.abs(t.reshape(b, -1)).max(axis=1).reshape(shape1)
+        elif norm == "L2":
+            t = jax.random.normal(key, im2.shape, im2.dtype)
+            denom = core.flat_norms(t, "l2").reshape(shape1)
+        else:  # L1
+            t = jax.random.normal(key, im2.shape, im2.dtype)
+            denom = core.flat_norms(t, "l1").reshape(shape1)
+        return jnp.clip(im2 + radius * t / denom * 0.5, 0.0, 1.0)
+
+    def single_run(x, y, key, use_rand_start):
+        b = x.shape[0]
+        shape1 = (b,) + (1,) * (x.ndim - 1)
+        y_sign = (1.0 - 2.0 * y.astype(x.dtype))  # (B,)
+
+        act = predict(x) == y  # attack only correctly-classified
+        im2 = x
+        adv = x
+        res2 = jnp.full((b,), 1e10, x.dtype)
+        x0 = x.reshape(b, -1)
+
+        x1 = _rand_start(key, im2, res2) if use_rand_start else x
+
+        def step(carry, _):
+            x1, adv, res2 = carry
+            z, g = z_and_grad(x1)
+            df = 2.0 * z * y_sign  # f_other - f_label
+            dg = 2.0 * g * y_sign.reshape(shape1)
+
+            w = dg.reshape(b, -1)
+            bb = -df + (w * x1.reshape(b, -1)).sum(axis=1)
+
+            d3 = proj(
+                jnp.concatenate([x1.reshape(b, -1), x0], 0),
+                jnp.concatenate([w, w], 0),
+                jnp.concatenate([bb, bb], 0),
+            )
+            d1 = d3[:b].reshape(x1.shape)
+            d2 = d3[b:].reshape(x1.shape)
+            a0 = jnp.maximum(
+                core.flat_norms(d3, ord_name), 1e-8
+            )  # (2B,)
+            a1 = a0[:b].reshape(shape1)
+            a2 = a0[b:].reshape(shape1)
+            alpha = jnp.clip(a1 / (a1 + a2), 0.0, alpha_max)
+            x1 = jnp.clip(
+                (x1 + eta * d1) * (1.0 - alpha) + (im2 + eta * d2) * alpha,
+                0.0,
+                1.0,
+            )
+
+            is_adv = predict(x1) != y
+            t_norm = core.flat_norms(x1 - im2, ord_name)
+            better = is_adv & (t_norm < res2) & act
+            adv = jnp.where(better.reshape(shape1), x1, adv)
+            res2 = jnp.where(better, t_norm, res2)
+            # backward step toward the original for adversarial points
+            x1 = jnp.where(
+                is_adv.reshape(shape1), im2 + (x1 - im2) * beta, x1
+            )
+            return (x1, adv, res2), None
+
+        (x1, adv, res2), _ = jax.lax.scan(
+            step, (x1, adv, res2), None, length=steps
+        )
+        success = (res2 < 1e10) & act
+        adv_c = jnp.where(success.reshape(shape1), adv, x)
+        return adv_c
+
+    def attack(x, y, key):
+        b = x.shape[0]
+        shape1 = (b,) + (1,) * (x.ndim - 1)
+        adv = x
+        acc = predict(x) == y  # still-robust mask
+        keys = jax.random.split(key, n_restarts)
+        for counter in range(n_restarts):
+            adv_curr = single_run(x, y, keys[counter], use_rand_start=counter > 0)
+            still_correct = predict(adv_curr) == y
+            res = core.flat_norms(x - adv_curr, ord_name)
+            acc_curr = still_correct | (res > eps)
+            newly_fooled = acc & ~acc_curr
+            adv = jnp.where(newly_fooled.reshape(shape1), adv_curr, adv)
+            acc = acc & acc_curr
+        return adv
+
+    return attack

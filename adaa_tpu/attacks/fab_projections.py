@@ -1,0 +1,190 @@
+"""Closed-form box-constrained hyperplane projections for FAB.
+
+Vectorized jnp implementations of the three projection subroutines of
+the FAB attack (Croce & Hein 2019; reference:
+adversarial_attacks/torchattacks/attacks/fab.py:562-717):
+given points t in the [0,1]^D box and hyperplanes (w, b), compute the
+minimal-(Linf|L2|L1)-norm d such that t + d stays in the box and
+crosses the hyperplane.
+
+Data-dependent row subsetting in the torch code (``d[c2] = ...``)
+becomes full-batch compute + ``jnp.where`` masks, and the per-row
+binary searches run a static ``ceil(log2 D)`` iterations — fully
+jit-compatible with no dynamic shapes.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row-wise gather: a[i, idx[i, j]]."""
+    return jnp.take_along_axis(a, idx, axis=1)
+
+
+def projection_linf(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    dim = w.shape[1]
+    sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0
+    w = w * sign[:, None]
+    b = b * sign
+
+    a = (w < 0).astype(t.dtype)
+    d = (a - t) * (w != 0).astype(t.dtype)
+
+    p = a - t * (2.0 * a - 1.0)
+    indp = jnp.argsort(p, axis=1)
+
+    b = b - (w * t).sum(1)
+    b0 = (w * d).sum(1)
+
+    indp2 = jnp.flip(indp, axis=1)
+    ws = _take(w, indp2)
+    bs2 = -ws * _take(d, indp2)
+
+    s = jnp.cumsum(jnp.abs(ws), axis=1)
+    sb = jnp.cumsum(bs2, axis=1) + b0[:, None]
+
+    b2 = sb[:, -1] - s[:, -1] * _take(p, indp[:, 0:1])[:, 0]
+    c_l = (b - b2) > 0
+    c2 = jnp.logical_and((b - b0) > 0, jnp.logical_not(c_l))
+
+    lb = jnp.zeros_like(b)
+    ub = jnp.full_like(b, dim - 1)
+    nitermax = math.ceil(math.log2(dim))
+    for _ in range(nitermax):
+        counter4 = jnp.floor((lb + ub) / 2)
+        counter2 = counter4.astype(jnp.int32)[:, None]
+        indcurr = _take(indp, dim - 1 - counter2)
+        b2i = (_take(sb, counter2) - _take(s, counter2) * _take(p, indcurr))[:, 0]
+        c = (b - b2i) > 0
+        lb = jnp.where(c, counter4, lb)
+        ub = jnp.where(c, ub, counter4)
+    lb_i = lb.astype(jnp.int32)[:, None]
+
+    # c_l rows
+    lmbd_l = jnp.maximum((b - sb[:, -1]) / (-s[:, -1]), 0.0)[:, None]
+    d_cl = (2.0 * a - 1.0) * lmbd_l
+
+    # c2 rows
+    lmbd_2 = jnp.maximum(
+        (b[:, None] - _take(sb, lb_i)) / (-_take(s, lb_i)), 0.0
+    )
+    d_c2 = jnp.minimum(lmbd_2, d) * a + jnp.maximum(-lmbd_2, d) * (1.0 - a)
+
+    d = jnp.where(c_l[:, None], d_cl, jnp.where(c2[:, None], d_c2, d))
+    return d * (w != 0).astype(t.dtype)
+
+
+def projection_l2(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    dim = w.shape[1]
+    c = (w * t).sum(1) - b
+    ind2 = (2.0 * (c >= 0) - 1.0)
+    w = w * ind2[:, None]
+    c = c * ind2
+
+    nonzero = jnp.abs(w) > 1e-8
+    w_safe = jnp.where(nonzero, w, 1.0)
+    r_raw = jnp.clip(jnp.maximum(t / w_safe, (t - 1.0) / w_safe), -1e12, 1e12)
+    r = jnp.where(nonzero, r_raw, 1e12)
+    r = jnp.where(r == -1e12, 1e12, r)
+    indr = jnp.argsort(r, axis=1)
+    rs = _take(r, indr)
+    rs2 = jnp.concatenate([rs[:, 1:], jnp.zeros_like(rs[:, :1])], axis=1)
+    rs = jnp.where(rs == 1e12, 0.0, rs)
+    rs2 = jnp.where(rs2 == 1e12, 0.0, rs2)
+
+    w3s = _take(w * w, indr)
+    w5 = w3s.sum(axis=1, keepdims=True)
+    ws = w5 - jnp.cumsum(w3s, axis=1)
+    d = -(r * w) * nonzero.astype(t.dtype)
+    s = jnp.concatenate(
+        [
+            -w5 * rs[:, 0:1],
+            jnp.cumsum((-rs2 + rs) * ws, axis=1) - w5 * rs[:, 0:1],
+        ],
+        axis=1,
+    )  # (B, D+1)
+
+    c4 = (s[:, 0] + c) < 0
+    c3 = ((d * w).sum(1) + c) > 0
+    c2 = jnp.logical_not(jnp.logical_or(c4, c3))
+
+    lb = jnp.zeros_like(c)
+    ub = jnp.full_like(c, dim - 1)
+    nitermax = math.ceil(math.log2(dim))
+    for _ in range(nitermax):
+        counter4 = jnp.floor((lb + ub) / 2)
+        counter2 = counter4.astype(jnp.int32)[:, None]
+        c3i = (_take(s, counter2)[:, 0] + c) > 0
+        lb = jnp.where(c3i, counter4, lb)
+        ub = jnp.where(c3i, ub, counter4)
+    lb_i = lb.astype(jnp.int32)[:, None]
+
+    # c4 rows
+    alpha4 = c / w5[:, 0]
+    d_c4 = -alpha4[:, None] * w
+
+    # c2 rows
+    ws_lb = _take(ws, lb_i)[:, 0]
+    alpha2 = (_take(s, lb_i)[:, 0] + c) / jnp.where(ws_lb == 0, 1.0, ws_lb) + _take(
+        rs, lb_i
+    )[:, 0]
+    alpha2 = jnp.where(ws_lb == 0, 0.0, alpha2)
+    c5 = (alpha2[:, None] > r).astype(t.dtype)
+    d_c2 = d * c5 - alpha2[:, None] * w * (1.0 - c5)
+
+    d = jnp.where(c4[:, None], d_c4, jnp.where(c2[:, None], d_c2, d))
+    return d * nonzero.astype(t.dtype)
+
+
+def projection_l1(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    dim = w.shape[1]
+    c = (w * t).sum(1) - b
+    ind2 = (2.0 * (c >= 0) - 1.0)
+    w = w * ind2[:, None]
+    c = c * ind2
+
+    nonzero = jnp.abs(w) > 1e-8
+    w_safe = jnp.where(nonzero, w, 1.0)
+    r = jnp.where(nonzero, jnp.minimum(jnp.abs(1.0 / w_safe), 1e12), 1e12)
+    indr = jnp.argsort(r, axis=1)
+    indr_rev = jnp.argsort(indr, axis=1)
+
+    c6 = (w < 0).astype(t.dtype)
+    d = (-t + c6) * nonzero.astype(t.dtype)
+    ds = _take(jnp.minimum(-w * t, w * (1.0 - t)), indr)
+    ds2 = jnp.concatenate([c[:, None], ds], axis=1)
+    s = jnp.cumsum(ds2, axis=1)  # (B, D+1)
+
+    c2 = s[:, -1] < 0
+
+    lb = jnp.zeros_like(c)
+    ub = jnp.full_like(c, float(s.shape[1]))
+    nitermax = math.ceil(math.log2(dim))
+    for _ in range(nitermax):
+        counter4 = jnp.floor((lb + ub) / 2)
+        counter2 = counter4.astype(jnp.int32)[:, None]
+        c3i = _take(s, counter2)[:, 0] > 0
+        lb = jnp.where(c3i, counter4, lb)
+        ub = jnp.where(c3i, ub, counter4)
+    lb2 = lb.astype(jnp.int32)
+
+    # c2 rows: zero out the |w|-sorted tail beyond lb, put alpha at pivot
+    indr_piv = jnp.take_along_axis(indr, lb2[:, None], axis=1)  # (B, 1)
+    w_piv = jnp.take_along_axis(w, indr_piv, axis=1)[:, 0]
+    alpha = -jnp.take_along_axis(s, lb2[:, None], axis=1)[:, 0] / jnp.where(
+        w_piv == 0, 1.0, w_piv
+    )
+    u2 = jnp.arange(dim, dtype=t.dtype)[None, :]
+    c5 = u2 < lb[:, None]  # positions (in sorted order) kept
+    u3 = jnp.take_along_axis(c5, indr_rev, axis=1)
+    d_c2 = d * u3.astype(t.dtype)
+    d_c2 = jnp.where(
+        jnp.arange(dim)[None, :] == indr_piv, alpha[:, None], d_c2
+    )
+
+    d = jnp.where(c2[:, None], d_c2, d)
+    return d * nonzero.astype(t.dtype)

@@ -1,0 +1,123 @@
+"""Adversarial evaluation: white-box + transferability.
+
+Behavioral equivalent of the reference's ``generate_attacks``
+(reference: evaluate_models_on_adversarial_attacks.py:146-298):
+per batch — minmax -> attack(surrogate) -> revert -> (optional
+re-preprocess for raw samples) -> victim prediction; plus the
+no-attack predictions feeding the qualitative callback, and the
+``adv_eval/*`` metric namespace (:288-298).
+
+White-box when the attack config equals the victim config;
+transferability when the surrogate is a different architecture.
+
+TPU design: attack generation + victim forward is ONE jitted program
+per batch shape — the reference's device->host->device re-preprocess
+round trip (base_dataset.py:122-148) is eliminated (see
+data.base.wavefake_preprocessing_on_batch).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaa_tpu import attacks as attacks_lib
+from adaa_tpu import metrics
+from adaa_tpu.attacks import core as attack_core
+from adaa_tpu.data.loader import DataLoader
+
+LOGGER = logging.getLogger(__name__)
+
+
+def generate_attacks(
+    victim_module,
+    victim_variables: Dict[str, Any],
+    dataset,
+    attack_name: str = "NO_ATTACK",
+    attack_module=None,
+    attack_variables: Optional[Dict[str, Any]] = None,
+    batch_size: int = 64,
+    key: Optional[jax.Array] = None,
+    on_attack_end_callback: Optional[Callable] = None,
+    raw_sample_from_dataset: bool = False,
+) -> Dict[str, float]:
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    builder, params = attacks_lib.ATTACK_REGISTRY.get(
+        attack_name, (None, {})
+    ) if attack_name in attacks_lib.ATTACK_REGISTRY else (
+        attacks_lib.EXTRA_ATTACKS[attack_name], {}
+    )
+    has_attack = builder is not None and attack_module is not None
+
+    @jax.jit
+    def victim_predict(batch_x):
+        out = victim_module.apply(victim_variables, batch_x, train=False)
+        return jax.nn.sigmoid(out.squeeze(1))
+
+    if has_attack:
+        logits_fn = attack_core.make_logits_fn(attack_module, attack_variables)
+        atk = builder(logits_fn, **params)
+
+        @jax.jit
+        def attack_batch(batch_x, batch_y, k):
+            x01, mn, mx = attack_core.to_minmax(batch_x)
+            adv01 = atk(x01, batch_y, k)
+            return attack_core.revert_minmax(adv01, mn, mx)
+
+        LOGGER.info(
+            "Attack using '%s' method (%s)", attack_name, params
+        )
+    else:
+        LOGGER.info("No attack applied")
+
+    loader = DataLoader(
+        dataset, batch_size, shuffle=True, drop_last=True, num_workers=3
+    )
+
+    y_pred, y_pred_label, y = [], [], []
+    for i, batch in enumerate(loader):
+        batch_x = jnp.asarray(batch[0])
+        batch_y = jnp.asarray(batch[2])
+        batch_meta = batch[3] if len(batch) > 3 else None
+
+        if has_attack:
+            key, ak = jax.random.split(key)
+            batch_x_attacked = attack_batch(batch_x, batch_y, ak)
+        else:
+            batch_x_attacked = batch_x
+
+        # raw-mode samples are already padded to the canonical length on
+        # host; the on-batch re-preprocess is the identity on device
+        # (see data.base.wavefake_preprocessing_on_batch)
+        preds = np.asarray(victim_predict(batch_x_attacked))
+        preds_label = (preds + 0.5).astype(np.int32)
+
+        if on_attack_end_callback is not None:
+            preds_noattack = np.asarray(victim_predict(batch_x))
+            preds_noattack_label = (preds_noattack + 0.5).astype(np.int32)
+            on_attack_end_callback(
+                batch_x=np.asarray(batch_x),
+                batch_x_attacked=np.asarray(batch_x_attacked),
+                batch_y=np.asarray(batch_y),
+                batch_preds_label=preds_label,
+                batch_preds=preds,
+                batch_preds_noattack_label=preds_noattack_label,
+                batch_preds_noattack=preds_noattack,
+                batch_metadata=batch_meta,
+            )
+
+        y_pred.append(preds)
+        y_pred_label.append(preds_label)
+        y.append(np.asarray(batch_y))
+
+    y_pred = np.concatenate(y_pred)
+    y_pred_label = np.concatenate(y_pred_label)
+    y = np.concatenate(y)
+
+    report = metrics.classification_report(y, y_pred, y_pred_label)
+    LOGGER.info(metrics.format_metrics("adv_eval", report))
+    return report

@@ -1,0 +1,233 @@
+"""Shared flax building blocks with torch-compatible numerics.
+
+The three detectors (LCNN / SpecRNet / RawNet3) must be importable from
+torch checkpoints (BASELINE.json requirement), so every layer here
+reproduces torch's exact math:
+
+* BatchNorm: eps 1e-5, running-average momentum 0.1 (flax momentum 0.9),
+  biased batch variance in normalization.
+* LSTM gate order (i, f, g, o), GRU gate order (r, z, n) with the reset
+  gate applied to ``W_hn h + b_hn`` (torch convention).
+* Parameter init mirrors torch defaults (uniform ±1/sqrt(fan)) so
+  from-scratch training behaves comparably.
+
+RNNs are ``lax.scan`` over time with the input projection hoisted into
+one big batched matmul (MXU) — the TPU-idiomatic recurrence shape.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch defaults)
+# ---------------------------------------------------------------------------
+
+def uniform_init(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_uniform_conv(key, shape, dtype=jnp.float32):
+    """torch Conv default: kaiming_uniform(a=sqrt(5)) on (kh, kw, in, out)."""
+    fan_in = math.prod(shape[:-1])  # kh * kw * in
+    gain = math.sqrt(2.0 / (1 + 5.0))  # a = sqrt(5)
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def kaiming_uniform_linear(key, shape, dtype=jnp.float32):
+    """torch Linear default on (in, out) kernels."""
+    fan_in = shape[0]
+    gain = math.sqrt(2.0 / (1 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def conv_bias_init(fan_in: int) -> Callable:
+    return uniform_init(1.0 / math.sqrt(fan_in))
+
+
+# ---------------------------------------------------------------------------
+# Elementwise / pooling
+# ---------------------------------------------------------------------------
+
+def max_feature_map(x: jax.Array, axis: int = -1) -> jax.Array:
+    """MFM maxout over channel halves (reference: src/models/lcnn.py:49-95).
+
+    Channels-last layout: max(x[..., :C/2], x[..., C/2:]).
+    """
+    c = x.shape[axis]
+    assert c % 2 == 0, "MFM needs an even channel count"
+    a, b = jnp.split(x, 2, axis=axis)
+    return jnp.maximum(a, b)
+
+
+def max_pool_2d(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
+    """torch MaxPool2d with floor mode on NHWC input (discards remainder)."""
+    h, w = x.shape[1], x.shape[2]
+    x = x[:, : (h // stride) * stride, : (w // stride) * stride, :]
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+
+
+def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
+    """torch MaxPool1d with floor mode on NLC input."""
+    stride = stride or window
+    l = x.shape[1]
+    x = x[:, : (l // stride) * stride, :]
+    return nn.max_pool(x, (window,), strides=(stride,), padding="VALID")
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm (torch semantics)
+# ---------------------------------------------------------------------------
+
+def torch_batch_norm(affine: bool = True, name: str = None) -> nn.BatchNorm:
+    """BatchNorm over the last axis with torch defaults (eps 1e-5,
+    running-average momentum 0.1 -> flax momentum 0.9).
+
+    ``affine=False`` variants (LCNN uses BatchNorm2d(affine=False),
+    reference src/models/lcnn.py:127-151) carry only running stats.
+    Call with ``use_running_average=not train``.
+    """
+    return nn.BatchNorm(
+        use_running_average=None,
+        momentum=0.9,
+        epsilon=1e-5,
+        use_bias=affine,
+        use_scale=affine,
+        name=name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recurrent layers (torch numerics)
+# ---------------------------------------------------------------------------
+
+class TorchLSTM(nn.Module):
+    """Single-direction LSTM matching torch.nn.LSTM numerics.
+
+    Input (B, T, D) -> output (B, T, H). Gate order (i, f, g, o);
+    params named like torch (`weight_ih`, `weight_hh`, `bias_ih`,
+    `bias_hh`) but stored transposed — (D, 4H) / (H, 4H) — for
+    channels-last matmuls.
+    """
+
+    hidden_size: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = self.hidden_size
+        bound = 1.0 / math.sqrt(h)
+        w_ih = self.param("weight_ih", uniform_init(bound), (d, 4 * h))
+        w_hh = self.param("weight_hh", uniform_init(bound), (h, 4 * h))
+        b_ih = self.param("bias_ih", uniform_init(bound), (4 * h,))
+        b_hh = self.param("bias_hh", uniform_init(bound), (4 * h,))
+
+        # one big MXU matmul for the input projection
+        gates_x = jnp.einsum("btd,dg->btg", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
+        gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H)
+        if self.reverse:
+            gates_x = jnp.flip(gates_x, axis=0)
+
+        def step(carry, gx):
+            h_prev, c_prev = carry
+            g = gx + h_prev @ w_hh
+            i, f, gg, o = jnp.split(g, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            gg = jnp.tanh(gg)
+            o = jax.nn.sigmoid(o)
+            c = f * c_prev + i * gg
+            hh = o * jnp.tanh(c)
+            return (hh, c), hh
+
+        b = x.shape[0]
+        init = (
+            jnp.zeros((b, h), x.dtype),
+            jnp.zeros((b, h), x.dtype),
+        )
+        _, ys = jax.lax.scan(step, init, gates_x)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=0)
+        return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM, concat outputs — torch.nn.LSTM(bidirectional=True)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fwd = TorchLSTM(self.hidden_size, reverse=False, name="fwd")(x)
+        bwd = TorchLSTM(self.hidden_size, reverse=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class TorchGRU(nn.Module):
+    """Single-direction GRU matching torch.nn.GRU numerics.
+
+    Gate order (r, z, n); the reset gate multiplies the *hidden*
+    projection of n (torch convention, different from the original
+    Cho et al. formulation).
+    """
+
+    hidden_size: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = self.hidden_size
+        bound = 1.0 / math.sqrt(h)
+        w_ih = self.param("weight_ih", uniform_init(bound), (d, 3 * h))
+        w_hh = self.param("weight_hh", uniform_init(bound), (h, 3 * h))
+        b_ih = self.param("bias_ih", uniform_init(bound), (3 * h,))
+        b_hh = self.param("bias_hh", uniform_init(bound), (3 * h,))
+
+        gates_x = jnp.einsum("btd,dg->btg", x, w_ih) + b_ih  # (B, T, 3H)
+        gates_x = jnp.swapaxes(gates_x, 0, 1)
+        if self.reverse:
+            gates_x = jnp.flip(gates_x, axis=0)
+
+        def step(h_prev, gx):
+            gh = h_prev @ w_hh + b_hh
+            xr, xz, xn = jnp.split(gx, 3, axis=-1)
+            hr, hz, hn = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h_prev
+            return h_new, h_new
+
+        b = x.shape[0]
+        _, ys = jax.lax.scan(step, jnp.zeros((b, h), x.dtype), gates_x)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=0)
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class BiGRU(nn.Module):
+    """Multi-layer bidirectional GRU — torch.nn.GRU(num_layers, bidirectional)."""
+
+    hidden_size: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = x
+        for layer in range(self.num_layers):
+            fwd = TorchGRU(self.hidden_size, reverse=False, name=f"l{layer}_fwd")(out)
+            bwd = TorchGRU(self.hidden_size, reverse=True, name=f"l{layer}_bwd")(out)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+        return out

@@ -1,0 +1,107 @@
+"""LCNN detector (LFCC-LCNN lineage) in flax, TPU-native layout.
+
+Behavioral equivalent of the reference's LCNN (reference:
+src/models/lcnn.py:102-243 — itself from the ASVspoof2021 LFCC-LCNN
+baseline): a 9-conv Max-Feature-Map stack with affine-free BatchNorms,
+two residual BLSTMs over time, mean-pool and a single output logit.
+
+TPU-first differences from the torch code (behavior preserved):
+* NHWC layout (time, coeff, channel) instead of NCHW — convs land on
+  the MXU without layout transposes.
+* The BLSTM input projection is hoisted to one batched matmul; only the
+  (B, 80)x(80, 320) recurrence runs inside ``lax.scan``.
+
+Module names carry the torch Sequential indices (conv0 == state_dict
+key ``m_transform.0``) so the checkpoint importer is a transparent
+1:1 mapping (see models/torch_import.py).
+
+Forward maps a raw waveform (B, 64600) -> logit (B, 1); precomputed
+features (B, C, n_coeff, T) are also accepted, mirroring BaseLCNN.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from adaa_tpu.models import layers
+from adaa_tpu.ops import frontends
+
+
+class LCNN(nn.Module):
+    """LCNN with an optional on-device frontend.
+
+    Attributes:
+      input_channels: frontend channels (1 for lfcc/mfcc, 2 for mel_spec).
+      num_coefficients: frontend coefficient count (80).
+      frontend_algorithm: e.g. ["lfcc"]; empty -> feature input expected.
+    """
+
+    input_channels: int = 1
+    num_coefficients: int = 80
+    frontend_algorithm: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.ndim == 2:  # raw waveform -> frontend
+            feat = frontends.get_frontend(list(self.frontend_algorithm))(x)
+            if feat.ndim < 4:
+                feat = feat[:, None, :, :]  # (B, 1, n_coeff, T)
+        else:
+            feat = x  # (B, C, n_coeff, T)
+
+        # torch permutes to (B, C, T, n_coeff) then runs NCHW convs
+        # (src/models/lcnn.py:190); we go channels-last: (B, T, coeff, C).
+        h = jnp.transpose(feat, (0, 3, 2, 1))
+
+        conv = lambda f, k, name: nn.Conv(
+            features=f,
+            kernel_size=(k, k),
+            padding=[(k // 2, k // 2)] * 2,
+            kernel_init=layers.kaiming_uniform_conv,
+            name=name,
+        )
+        bn = lambda name: layers.torch_batch_norm(affine=False, name=name)
+        mfm = layers.max_feature_map
+        pool = layers.max_pool_2d
+
+        h = mfm(conv(64, 5, "conv0")(h))
+        h = pool(h)
+        h = mfm(conv(64, 1, "conv3")(h))
+        h = bn("bn5")(h, use_running_average=not train)
+        h = mfm(conv(96, 3, "conv6")(h))
+        h = pool(h)
+        h = bn("bn9")(h, use_running_average=not train)
+        h = mfm(conv(96, 1, "conv10")(h))
+        h = bn("bn12")(h, use_running_average=not train)
+        h = mfm(conv(128, 3, "conv13")(h))
+        h = pool(h)
+        h = mfm(conv(128, 1, "conv16")(h))
+        h = bn("bn18")(h, use_running_average=not train)
+        h = mfm(conv(64, 3, "conv19")(h))
+        h = bn("bn21")(h, use_running_average=not train)
+        h = mfm(conv(64, 1, "conv22")(h))
+        h = bn("bn24")(h, use_running_average=not train)
+        h = mfm(conv(64, 3, "conv25")(h))
+        h = pool(h)
+        h = nn.Dropout(rate=0.7, deterministic=not train)(h)
+
+        # (B, T', W', C) -> (B, T', C, W') -> (B, T', C * W')
+        # matches torch's permute(0, 2, 1, 3) + view (src/models/lcnn.py:196-199)
+        b, t = h.shape[0], h.shape[1]
+        h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, -1)
+
+        dim = (self.num_coefficients // 16) * 32
+        lstm_out = layers.BiLSTM(dim // 2, name="blstm0")(h)
+        lstm_out = layers.BiLSTM(dim // 2, name="blstm1")(lstm_out)
+
+        pooled = (lstm_out + h).mean(axis=1)
+        logit = nn.Dense(
+            1,
+            kernel_init=layers.kaiming_uniform_linear,
+            bias_init=layers.conv_bias_init(dim),
+            name="output",
+        )(pooled)
+        return logit

@@ -1,0 +1,308 @@
+"""RawNet3 raw-waveform detector in flax, TPU-native layout.
+
+Behavioral equivalent of the reference (reference:
+src/models/rawnet3.py:11-291, lineage Jung et al. RawNet3 /
+clovaai): pre-emphasis + instance norm, a learnable parametric sinc
+filterbank (asteroid_filterbanks ``Encoder(ParamSincFB(...))``,
+reference rawnet3.py:27-33) reimplemented natively, three Res2Net
+``Bottle2neck`` blocks with AFMS feature-map scaling, a skip-pyramid
+1x1 conv to 1536 channels, ECA attentive statistics pooling, and a
+final dense layer to one logit.
+
+Reproduced reference quirks:
+* ``bn1``/``relu`` after the sinc encoder are defined but never used in
+  forward (rawnet3.py:34-35 vs 73-98) — we do not instantiate them.
+* ``torch.var`` in the context stats uses the unbiased estimator.
+* The sinc filterbank keeps asteroid's default ``sample_rate=8000``
+  (RawNet3 passes no sample_rate), mel-spaced init between 30 Hz and
+  sr/2 - 100 Hz, half-Hamming window, cos+sin filter pairs.
+
+Layout: channels-last (B, T, C) 1D convs.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from adaa_tpu.models import layers
+
+
+def _sinc_init_hz(cutoff: int, sample_rate: float, min_low_hz: float, min_band_hz: float):
+    """Mel-spaced initial (low_hz, band_hz) — asteroid ParamSincFB init."""
+    low_hz = 30.0
+    high_hz = sample_rate / 2 - (min_low_hz + min_band_hz)
+    to_mel = lambda hz: 2595.0 * np.log10(1.0 + hz / 700.0)
+    to_hz = lambda mel: 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    mel = np.linspace(to_mel(low_hz), to_mel(high_hz), cutoff + 1)
+    hz = to_hz(mel)
+    return hz[:-1].astype(np.float32), np.diff(hz).astype(np.float32)
+
+
+class ParamSincFB(nn.Module):
+    """Learnable parametric sinc filterbank conv (asteroid-compatible).
+
+    n_filters total output channels: first half cosine-phase band-pass
+    filters, second half sine-phase. Parameters ``low_hz_`` and
+    ``band_hz_`` have asteroid's (cutoff, 1) shapes for checkpoint
+    compatibility.
+    """
+
+    n_filters: int = 256
+    kernel_size: int = 251
+    stride: int = 10
+    sample_rate: float = 8000.0
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cutoff = self.n_filters // 2
+        init_low, init_band = _sinc_init_hz(
+            cutoff, self.sample_rate, self.min_low_hz, self.min_band_hz
+        )
+        low_hz_ = self.param(
+            "low_hz_", lambda k: jnp.asarray(init_low)[:, None]
+        )
+        band_hz_ = self.param(
+            "band_hz_", lambda k: jnp.asarray(init_band)[:, None]
+        )
+
+        half = self.kernel_size // 2
+        window = jnp.asarray(np.hamming(self.kernel_size)[:half].astype(np.float32))
+        n_ = jnp.asarray(
+            (2.0 * math.pi * np.arange(-half, 0.0) / self.sample_rate).astype(
+                np.float32
+            )
+        )[None, :]  # (1, half)
+
+        low = self.min_low_hz + jnp.abs(low_hz_)  # (cutoff, 1)
+        high = jnp.clip(
+            low + self.min_band_hz + jnp.abs(band_hz_),
+            self.min_low_hz,
+            self.sample_rate / 2,
+        )
+        band = (high - low)[:, 0]  # (cutoff,)
+        ftl = low @ n_  # (cutoff, half)
+        fth = high @ n_
+
+        cos_left = ((jnp.sin(fth) - jnp.sin(ftl)) / (n_ / 2.0)) * window
+        cos_center = 2.0 * band[:, None]
+        cos_filt = jnp.concatenate(
+            [cos_left, cos_center, jnp.flip(cos_left, axis=1)], axis=1
+        ) / (2.0 * band[:, None])
+
+        sin_left = ((jnp.cos(ftl) - jnp.cos(fth)) / (n_ / 2.0)) * window
+        sin_center = jnp.zeros_like(band)[:, None]
+        sin_filt = jnp.concatenate(
+            [sin_left, sin_center, -jnp.flip(sin_left, axis=1)], axis=1
+        ) / (2.0 * band[:, None])
+
+        filters = jnp.concatenate([cos_filt, sin_filt], axis=0)  # (n_filt, ks)
+        kern = filters.T[:, None, :]  # (ks, 1, n_filt) HIO
+
+        return jax.lax.conv_general_dilated(
+            x,  # (B, L, 1)
+            kern,
+            window_strides=(self.stride,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )  # (B, T, n_filt)
+
+
+class AFMS(nn.Module):
+    """Alpha-feature-map scaling (reference rawnet3.py:161-182)."""
+
+    nb_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, T, C)
+        y = x.mean(axis=1)  # adaptive_avg_pool1d(1)
+        y = nn.Dense(
+            self.nb_dim,
+            kernel_init=layers.kaiming_uniform_linear,
+            bias_init=layers.conv_bias_init(self.nb_dim),
+            name="fc",
+        )(y)
+        y = jax.nn.sigmoid(y)[:, None, :]
+        alpha = self.param("alpha", nn.initializers.ones, (self.nb_dim,))
+        return (x + alpha[None, None, :]) * y
+
+
+class Bottle2neck(nn.Module):
+    """Res2Net bottleneck with dilated convs (reference rawnet3.py:185-274)."""
+
+    inplanes: int
+    planes: int
+    kernel_size: int = 3
+    dilation: int = 1
+    scale: int = 8
+    pool: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        width = self.planes // self.scale
+        nums = self.scale - 1
+        bn = lambda name: layers.torch_batch_norm(name=name)
+        conv1x1 = lambda f, name, bias=True: nn.Conv(
+            f, (1,), use_bias=bias,
+            kernel_init=layers.kaiming_uniform_conv, name=name,
+        )
+
+        residual = x
+        if self.inplanes != self.planes:
+            residual = conv1x1(self.planes, "residual", bias=False)(x)
+
+        out = conv1x1(width * self.scale, "conv1")(x)
+        out = nn.relu(out)
+        out = bn("bn1")(out, use_running_average=not train)
+
+        spx = jnp.split(out, self.scale, axis=-1)
+        num_pad = (self.kernel_size // 2) * self.dilation
+        outs = []
+        sp = None
+        for i in range(nums):
+            sp = spx[i] if i == 0 else sp + spx[i]
+            sp = nn.Conv(
+                width,
+                (self.kernel_size,),
+                kernel_dilation=(self.dilation,),
+                padding=[(num_pad, num_pad)],
+                kernel_init=layers.kaiming_uniform_conv,
+                name=f"convs_{i}",
+            )(sp)
+            sp = nn.relu(sp)
+            sp = bn(f"bns_{i}")(sp, use_running_average=not train)
+            outs.append(sp)
+        outs.append(spx[nums])
+        out = jnp.concatenate(outs, axis=-1)
+
+        out = conv1x1(self.planes, "conv3")(out)
+        out = nn.relu(out)
+        out = bn("bn3")(out, use_running_average=not train)
+
+        out = out + residual
+        if self.pool:
+            out = layers.max_pool_1d(out, self.pool)
+        return AFMS(self.planes, name="afms")(out)
+
+
+class RawNet3(nn.Module):
+    """RawNet3 with fixed reference hyperparameters
+    (``prepare_model``, reference rawnet3.py:277-291): C=1024, scale 8,
+    context=True, summed=True, ECA encoder, log_sinc, mean norm,
+    sinc_stride 10, nOut=1, out_bn=False.
+    """
+
+    C: int = 1024
+    n_out: int = 1
+    sinc_stride: int = 10
+    log_sinc: bool = True
+    norm_sinc: str = "mean"
+    context: bool = True
+    summed: bool = True
+    out_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert x.ndim == 2, "RawNet3 consumes raw waves (B, L)"
+        # PreEmphasis (reference rawnet3.py:140-158): y[t] = x[t] - 0.97 x[t-1],
+        # left reflect pad => y[0] = x[0] - 0.97 x[1]
+        prev = jnp.concatenate([x[:, 1:2], x[:, :-1]], axis=1)
+        h = x - 0.97 * prev
+
+        # InstanceNorm1d(1, eps=1e-4, affine=True): per-sample over time
+        in_scale = self.param("instancenorm_weight", nn.initializers.ones, (1,))
+        in_bias = self.param("instancenorm_bias", nn.initializers.zeros, (1,))
+        mean = h.mean(axis=1, keepdims=True)
+        var = h.var(axis=1, keepdims=True)  # biased, torch InstanceNorm
+        h = (h - mean) / jnp.sqrt(var + 1e-4) * in_scale + in_bias
+
+        h = ParamSincFB(
+            n_filters=self.C // 4,
+            kernel_size=251,
+            stride=self.sinc_stride,
+            name="conv1",
+        )(h[:, :, None])  # (B, T, C/4)
+        h = jnp.abs(h)
+        if self.log_sinc:
+            h = jnp.log(h + 1e-6)
+        if self.norm_sinc == "mean":
+            h = h - h.mean(axis=1, keepdims=True)
+
+        x1 = Bottle2neck(
+            self.C // 4, self.C, kernel_size=3, dilation=2, scale=8, pool=5,
+            name="layer1",
+        )(h, train)
+        x2 = Bottle2neck(
+            self.C, self.C, kernel_size=3, dilation=3, scale=8, pool=3,
+            name="layer2",
+        )(x1, train)
+        mp3_x1 = layers.max_pool_1d(x1, 3)
+        if self.summed:
+            x3_in = mp3_x1 + x2
+        else:
+            x3_in = x2
+        x3 = Bottle2neck(
+            self.C, self.C, kernel_size=3, dilation=4, scale=8,
+            name="layer3",
+        )(x3_in, train)
+
+        h = jnp.concatenate([mp3_x1, x2, x3], axis=-1)
+        h = nn.Conv(
+            1536, (1,), kernel_init=layers.kaiming_uniform_conv, name="layer4"
+        )(h)
+        h = nn.relu(h)  # (B, T, 1536)
+
+        t = h.shape[1]
+        if self.context:
+            mu_t = h.mean(axis=1, keepdims=True)
+            var_t = h.var(axis=1, keepdims=True, ddof=1)  # torch unbiased var
+            sg_t = jnp.sqrt(jnp.clip(var_t, 1e-4, 1e4))
+            global_x = jnp.concatenate(
+                [
+                    h,
+                    jnp.broadcast_to(mu_t, h.shape),
+                    jnp.broadcast_to(sg_t, h.shape),
+                ],
+                axis=-1,
+            )
+        else:
+            global_x = h
+
+        w = nn.Conv(
+            128, (1,), kernel_init=layers.kaiming_uniform_conv, name="attention_0"
+        )(global_x)
+        w = nn.relu(w)
+        w = layers.torch_batch_norm(name="attention_2")(
+            w, use_running_average=not train
+        )
+        w = nn.Conv(
+            1536, (1,), kernel_init=layers.kaiming_uniform_conv, name="attention_3"
+        )(w)
+        w = jax.nn.softmax(w, axis=1)  # softmax over time (torch dim=2 on NCL)
+
+        mu = jnp.sum(h * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(h * h * w, axis=1) - mu * mu, 1e-4, 1e4))
+        h = jnp.concatenate([mu, sg], axis=-1)  # (B, 3072)
+
+        h = layers.torch_batch_norm(name="bn5")(h, use_running_average=not train)
+        h = nn.Dense(
+            self.n_out,
+            kernel_init=layers.kaiming_uniform_linear,
+            bias_init=layers.conv_bias_init(3072),
+            name="fc6",
+        )(h)
+        if self.out_bn:
+            h = layers.torch_batch_norm(name="bn6")(h, use_running_average=not train)
+        return h
+
+
+def prepare_model() -> RawNet3:
+    """Mirror of the reference factory (rawnet3.py:277-291)."""
+    return RawNet3()

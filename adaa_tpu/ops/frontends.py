@@ -1,0 +1,142 @@
+"""Differentiable audio frontends (LFCC / MFCC / mel_spec), TPU-native.
+
+Functional equivalents of the reference's torchaudio transforms
+(reference: src/frontends.py):
+
+* ``lfcc``   — LFCC_FN   (src/frontends.py:24-32): n_lfcc=80, n_fft=512,
+  win 400, hop 160, 128 linear filters, dB scale, ortho DCT.
+* ``mfcc``   — MFCC_FN   (src/frontends.py:13-21): n_mfcc=80, 128 HTK mel
+  filters (norm=None), dB scale, ortho DCT.
+* ``mel_spec`` — prepare_mel_scale_vector (src/frontends.py:53-79):
+  rectangular-window STFT (torch.stft called with no window), 80-bin
+  MelScale applied separately to real/imag, stacked (abs, angle)
+  2-channel feature.
+
+Everything is jnp + one strided conv -> 2-3 matmuls; XLA fuses the
+elementwise tail. All functions map (B, 64600) -> (B, [C,] n_coeff, T)
+with T = 404 frames and differentiate w.r.t. the waveform (attacks
+backprop through the frontend).
+"""
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu.ops import filterbanks as fb
+from adaa_tpu.ops import stft as stft_ops
+
+SAMPLING_RATE = 16_000
+WIN_LENGTH = 400  # 25 ms  (src/frontends.py:8)
+HOP_LENGTH = 160  # 10 ms  (src/frontends.py:9)
+N_FFT = 512
+
+
+def lfcc(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
+    """(..., L) -> (..., n_lfcc, T). torchaudio.transforms.LFCC equivalent."""
+    spec = stft_ops.spectrogram(
+        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH, power=2.0
+    )  # (..., F, T)
+    filt = jnp.asarray(
+        fb.linear_fbanks(
+            n_freqs=N_FFT // 2 + 1,
+            f_min=0.0,
+            f_max=SAMPLING_RATE / 2,
+            n_filter=n_filter,
+            sample_rate=SAMPLING_RATE,
+        )
+    )  # (F, n_filter)
+    banked = jnp.einsum(
+        "...ft,fm->...mt", spec, filt, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    banked_db = fb.amplitude_to_db_power(banked)
+    dct = jnp.asarray(fb.create_dct(n_lfcc, n_filter, norm="ortho"))  # (n_filter, n_lfcc)
+    return jnp.einsum(
+        "...mt,mc->...ct", banked_db, dct, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def mfcc(x: jax.Array, n_mfcc: int = 80, n_mels: int = 128) -> jax.Array:
+    """(..., L) -> (..., n_mfcc, T). torchaudio.transforms.MFCC equivalent."""
+    spec = stft_ops.spectrogram(
+        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH, power=2.0
+    )
+    filt = jnp.asarray(
+        fb.melscale_fbanks(
+            n_freqs=N_FFT // 2 + 1,
+            f_min=0.0,
+            f_max=SAMPLING_RATE / 2,
+            n_mels=n_mels,
+            sample_rate=SAMPLING_RATE,
+            norm=None,
+            mel_scale="htk",
+        )
+    )
+    banked = jnp.einsum(
+        "...ft,fm->...mt", spec, filt, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    banked_db = fb.amplitude_to_db_power(banked)
+    dct = jnp.asarray(fb.create_dct(n_mfcc, n_mels, norm="ortho"))
+    return jnp.einsum(
+        "...mt,mc->...ct", banked_db, dct, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def prepare_stft_features(x: jax.Array, n_mels: int = 80):
+    """Mel-projected complex STFT -> (abs, angle) (src/frontends.py:60-79).
+
+    Note the reference calls ``torch.stft`` *without* a window, i.e. a
+    rectangular window of win_length samples — reproduced here.
+    """
+    real, imag = stft_ops.stft(
+        x,
+        n_fft=N_FFT,
+        hop_length=HOP_LENGTH,
+        win_length=WIN_LENGTH,
+        window="ones",
+    )
+    filt = jnp.asarray(
+        fb.melscale_fbanks(
+            n_freqs=N_FFT // 2 + 1,
+            f_min=0.0,
+            f_max=SAMPLING_RATE / 2,
+            n_mels=n_mels,
+            sample_rate=SAMPLING_RATE,
+            norm=None,
+            mel_scale="htk",
+        )
+    )
+    real_mel = jnp.einsum("...ft,fm->...mt", real, filt, preferred_element_type=jnp.float32)
+    imag_mel = jnp.einsum("...ft,fm->...mt", imag, filt, preferred_element_type=jnp.float32)
+    abs_mel = jnp.sqrt(real_mel * real_mel + imag_mel * imag_mel)
+    angle_mel = jnp.arctan2(imag_mel, real_mel)
+    return abs_mel, angle_mel
+
+
+def mel_spec(x: jax.Array) -> jax.Array:
+    """(..., L) -> (..., 2, n_mels, T): stacked (abs, angle) channels."""
+    abs_mel, angle_mel = prepare_stft_features(x)
+    return jnp.stack([abs_mel, angle_mel], axis=-3)
+
+
+_FRONTENDS = {
+    "lfcc": lfcc,
+    "mfcc": mfcc,
+    "mel_spec": mel_spec,
+}
+
+
+def get_frontend(frontends: List[str]) -> Callable[[jax.Array], jax.Array]:
+    """Dispatch mirroring the reference (src/frontends.py:41-50)."""
+    if "mfcc" in frontends:
+        return mfcc
+    elif "lfcc" in frontends:
+        return lfcc
+    elif "mel_spec" in frontends:
+        return mel_spec
+    raise ValueError(f"{frontends} frontend is not supported!")

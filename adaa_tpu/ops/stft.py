@@ -1,0 +1,144 @@
+"""Short-time Fourier transform with torch.stft conventions, TPU-first.
+
+The reference's frontends are torchaudio transforms over ``torch.stft``
+(reference: src/frontends.py:13-38,60-79). For bit-level convention
+parity we reproduce:
+
+* ``center=True`` reflect padding with ``n_fft // 2`` on both sides,
+* window of ``win_length`` zero-padded symmetrically to ``n_fft``
+  (left pad ``(n_fft - win_length) // 2``),
+* onesided output with ``n_fft // 2 + 1`` bins,
+* no normalization.
+
+Design: instead of an FFT (XLA's small-size FFTs underutilize the TPU),
+the windowed DFT is expressed as a single strided convolution whose
+kernel is ``window * [cos | -sin]`` — one ``lax.conv_general_dilated``
+that lands straight on the MXU and differentiates cleanly (attacks need
+d(frontend)/d(wave)). For a 64600-sample wave this is a
+(B,1,65112) x (514,1,512)/stride-160 conv -> (B,514,404).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window — matches ``torch.hann_window(periodic=True)``."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    return w.astype(dtype)
+
+
+def _padded_window(window: Optional[np.ndarray], n_fft: int, win_length: int) -> np.ndarray:
+    """Zero-pad the window to n_fft, centered (torch.stft semantics)."""
+    if window is None:
+        window = np.ones(win_length, dtype=np.float32)
+    assert window.shape == (win_length,)
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float64)
+    out[left : left + win_length] = window.astype(np.float64)
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_kernel(n_fft: int, win_length: int, window_kind: str) -> np.ndarray:
+    """Windowed real-DFT kernel, shape (2 * n_bins, 1, n_fft).
+
+    Rows [0, n_bins) produce the real part, rows [n_bins, 2*n_bins) the
+    imaginary part. Window is folded into the kernel.
+    """
+    if window_kind == "hann":
+        window = hann_window(win_length)
+    elif window_kind == "ones":
+        window = None
+    else:
+        raise ValueError(f"unknown window kind {window_kind!r}")
+    w = _padded_window(window, n_fft, win_length)  # (n_fft,) float64
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    f = np.arange(n_bins, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(f, n) / n_fft  # (n_bins, n_fft)
+    real = np.cos(ang) * w[None, :]
+    imag = -np.sin(ang) * w[None, :]
+    kern = np.concatenate([real, imag], axis=0)[:, None, :]  # (2F, 1, n_fft)
+    return kern.astype(np.float32)
+
+
+def frame_count(length: int, n_fft: int, hop_length: int, center: bool = True) -> int:
+    if center:
+        length = length + 2 * (n_fft // 2)
+    return 1 + (length - n_fft) // hop_length
+
+
+def stft(
+    x: jax.Array,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+    window: str = "hann",
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> Tuple[jax.Array, jax.Array]:
+    """Real STFT of a batch of waves.
+
+    Args:
+      x: (..., L) float waveforms.
+      window: "hann" (torchaudio Spectrogram default) or "ones"
+        (``torch.stft`` called without a window, as the reference's
+        mel_spec frontend does — src/frontends.py:64-70).
+
+    Returns:
+      (real, imag), each (..., n_fft // 2 + 1, n_frames).
+    """
+    batch_shape = x.shape[:-1]
+    length = x.shape[-1]
+    x2 = x.reshape((-1, 1, length))
+
+    if center:
+        pad = n_fft // 2
+        x2 = jnp.pad(x2, ((0, 0), (0, 0), (pad, pad)), mode=pad_mode)
+
+    kern = jnp.asarray(_dft_kernel(n_fft, win_length, window))
+    out = jax.lax.conv_general_dilated(
+        x2.astype(jnp.float32),
+        kern,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 2F, T)
+    n_bins = n_fft // 2 + 1
+    real = out[:, :n_bins, :]
+    imag = out[:, n_bins:, :]
+    t = out.shape[-1]
+    return (
+        real.reshape(batch_shape + (n_bins, t)),
+        imag.reshape(batch_shape + (n_bins, t)),
+    )
+
+
+def spectrogram(
+    x: jax.Array,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+    power: float = 2.0,
+) -> jax.Array:
+    """``torchaudio.transforms.Spectrogram`` equivalent (power spectrum).
+
+    Hann window, center/reflect, no normalization. Returns
+    (..., n_fft // 2 + 1, n_frames).
+    """
+    real, imag = stft(
+        x, n_fft=n_fft, hop_length=hop_length, win_length=win_length, window="hann"
+    )
+    mag2 = real * real + imag * imag
+    if power == 2.0:
+        return mag2
+    return jnp.power(jnp.sqrt(mag2), power)

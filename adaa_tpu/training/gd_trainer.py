@@ -1,0 +1,184 @@
+"""Clean gradient-descent trainer.
+
+Behavioral equivalent of the reference's GDTrainer (reference:
+src/trainer.py:36-210): BCE-with-logits loss, Adam, optional
+cosine-warm-restart schedule (rawnet3 only, T_0 = 2 epochs), per-epoch
+test pass, best-by-test-accuracy model selection, and the reference's
+log-line formats (train/loss, test/accuracy...).
+
+TPU design: the whole optimization step — forward (with batch-stat
+updates), loss, backward, Adam — is ONE jitted function; the host loop
+only feeds numpy batches and reads scalar metrics. ``donate_argnums``
+recycles the state buffers so params never double-buffer in HBM.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaa_tpu.data.loader import DataLoader
+from adaa_tpu.training import train_state as ts
+
+LOGGER = logging.getLogger(__name__)
+
+
+def bce_with_logits(logits: jax.Array, y: jax.Array) -> jax.Array:
+    """torch.nn.BCEWithLogitsLoss (mean) on (B, 1) logits, (B,) labels."""
+    return optax.sigmoid_binary_cross_entropy(
+        logits.squeeze(-1), y.astype(logits.dtype)
+    ).mean()
+
+
+def predict_label(logits: jax.Array) -> jax.Array:
+    """(sigmoid(z) + .5).int() — the reference's rounding
+    (trainer.py:147)."""
+    return (jax.nn.sigmoid(logits.squeeze(-1)) + 0.5).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key):
+    def loss_fn(params):
+        out, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch_x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        return bce_with_logits(out, batch_y), (out, mutated["batch_stats"])
+
+    (loss, (out, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+    correct = (predict_label(out) == batch_y).sum()
+    return state, loss, correct
+
+
+def make_eval_step(apply_fn: Callable):
+    @jax.jit
+    def step(variables, batch_x, batch_y):
+        out = apply_fn(variables, batch_x, train=False)
+        loss = bce_with_logits(out, batch_y)
+        correct = (predict_label(out) == batch_y).sum()
+        return loss, correct, out
+
+    return step
+
+
+class GDTrainer:
+    """API mirror of the reference Trainer/GDTrainer
+    (trainer.py:36-65,74-210)."""
+
+    def __init__(
+        self,
+        epochs: int = 20,
+        batch_size: int = 32,
+        device: str = "",  # kept for CLI parity; JAX manages devices
+        optimizer_kwargs: Dict[str, Any] = None,
+        use_scheduler: bool = False,
+    ):
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.device = device
+        self.optimizer_kwargs = optimizer_kwargs or {"lr": 1e-3}
+        self.use_scheduler = use_scheduler
+        self.epoch_test_losses: List[float] = []
+
+    def train(
+        self,
+        dataset,
+        module,
+        variables: Dict[str, Any],
+        test_dataset=None,
+        key: Optional[jax.Array] = None,
+    ) -> Dict[str, Any]:
+        """Returns the best (by test accuracy) variables."""
+        assert test_dataset is not None, "pass an explicit test split"
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        train_loader = DataLoader(
+            dataset, self.batch_size, shuffle=True, drop_last=True, num_workers=6
+        )
+        test_loader = DataLoader(
+            test_dataset, self.batch_size, shuffle=True, drop_last=True,
+            num_workers=6,
+        )
+
+        state = ts.create_train_state(
+            module,
+            variables,
+            self.optimizer_kwargs,
+            use_scheduler=self.use_scheduler,
+            batches_per_epoch=len(train_loader),
+            scheduler_t0_epochs=2,  # trainer.py:118 "every 2nd epoch"
+        )
+        eval_step = make_eval_step(module.apply)
+
+        best_variables = None
+        best_acc = 0.0
+        LOGGER.info("Starting training for %d epochs!", self.epochs)
+
+        for epoch in range(self.epochs):
+            LOGGER.info("Epoch num: %d", epoch)
+            running_loss, num_correct, num_total = 0.0, 0.0, 0
+            for i, batch in enumerate(train_loader):
+                batch_x, _, batch_y = batch[0], batch[1], batch[2]
+                bsz = batch_x.shape[0]
+                key, dk = jax.random.split(key)
+                state, loss, correct = train_step(
+                    state, jnp.asarray(batch_x), jnp.asarray(batch_y), dk
+                )
+                num_total += bsz
+                running_loss += float(loss) * bsz
+                num_correct += int(correct)
+                if i % 100 == 0:
+                    LOGGER.info(
+                        "[%04d][%05d]: %s %s",
+                        epoch, i,
+                        running_loss / num_total,
+                        num_correct / num_total * 100,
+                    )
+
+            running_loss /= max(num_total, 1)
+            train_acc = num_correct / max(num_total, 1) * 100
+            LOGGER.info(
+                "Epoch [%d/%d]: train/loss: %s, train/accuracy: %s",
+                epoch + 1, self.epochs, running_loss, train_acc,
+            )
+
+            test_loss, test_acc = self._test_epoch(eval_step, state, test_loader)
+            LOGGER.info(
+                "Epoch [%d/%d]: test/loss: %s, test/accuracy: %s, test/eer: %s",
+                epoch + 1, self.epochs, test_loss, test_acc, 0,
+            )
+
+            if best_variables is None or test_acc > best_acc:
+                best_acc = test_acc
+                best_variables = jax.tree_util.tree_map(
+                    np.asarray, state.variables()
+                )
+
+        return jax.tree_util.tree_map(jnp.asarray, best_variables)
+
+    @staticmethod
+    def _test_epoch(eval_step, state, test_loader):
+        test_loss, num_correct, num_total = 0.0, 0.0, 0
+        variables = state.variables()
+        for batch in test_loader:
+            batch_x, batch_y = batch[0], batch[2]
+            bsz = batch_x.shape[0]
+            loss, correct, _ = eval_step(
+                variables, jnp.asarray(batch_x), jnp.asarray(batch_y)
+            )
+            num_total += bsz
+            test_loss += float(loss) * bsz
+            num_correct += int(correct)
+        num_total = max(num_total, 1)
+        return test_loss / num_total, 100.0 * num_correct / num_total

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Primary benchmark: adversarial examples/sec — PGD-10 on LCNN+LFCC.
+
+Prints ONE JSON line:
+  {"metric": "adv_examples_per_sec_pgd10_lcnn_lfcc", "value": N,
+   "unit": "examples/sec", "vs_baseline": R}
+
+vs_baseline = our throughput / torch-CPU reference throughput. The
+torch-CPU baseline (the reference implementation's execution model: a
+python PGD loop of 10 torch fwd+bwd over LFCC+LCNN, see reference
+adversarial_attacks/torchattacks/attacks/pgd.py:59-76) is measured
+once on this machine and cached in BENCH_BASELINE.json; pass
+--remeasure-baseline to refresh.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+BATCH = 64  # reference adversarial-eval batch size (generate_attacks)
+WAVE_LEN = 64_600
+BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
+
+
+def measure_jax(batch: int, iters: int = 10, warmup: int = 2) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaa_tpu import models
+    from adaa_tpu.attacks import core as attack_core
+    from adaa_tpu.attacks.gradient import pgd
+
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(module, jax.random.PRNGKey(0),
+                                  wave_length=WAVE_LEN)
+    logits_fn = attack_core.make_logits_fn(module, variables)
+    atk = pgd(logits_fn, eps=0.0005, steps=10)  # registry PGD params
+
+    @jax.jit
+    def attack_batch(x, y, key):
+        x01, mn, mx = attack_core.to_minmax(x)
+        return attack_core.revert_minmax(atk(x01, y, key), mn, mx)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, WAVE_LEN)).astype(np.float32))
+    y = jnp.asarray((np.arange(batch) % 2).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(warmup):
+        attack_batch(x, y, key).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        attack_batch(x, y, k).block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def measure_torch_cpu(batch: int = 8, iters: int = 2) -> float:
+    """Reference-style torch-CPU PGD-10 throughput (python step loop)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import numpy as np
+    import torch
+
+    from tests.oracles.torch_models import TorchLCNN
+
+    torch.manual_seed(0)
+    model = TorchLCNN(input_channels=1, num_coefficients=80)
+    model.eval()
+
+    eps, alpha, steps = 0.0005, 2 / 255, 10
+    loss_fn = torch.nn.CrossEntropyLoss()
+
+    def attack(x, y):
+        mn = x.min(dim=1, keepdim=True).values
+        mx = x.max(dim=1, keepdim=True).values
+        x01 = (x - mn) / (mx - mn)
+        adv = torch.clamp(
+            x01 + torch.empty_like(x01).uniform_(-eps, eps), 0, 1
+        ).detach()
+        for _ in range(steps):
+            adv.requires_grad_(True)
+            z = model(adv)
+            out = torch.cat([-z, z], dim=1)
+            cost = loss_fn(out, y)
+            (g,) = torch.autograd.grad(cost, adv)
+            adv = adv.detach() + alpha * g.sign()
+            delta = torch.clamp(adv - x01, -eps, eps)
+            adv = torch.clamp(x01 + delta, 0, 1).detach()
+        return adv * (mx - mn) + mn
+
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.standard_normal((batch, WAVE_LEN)).astype("float32"))
+    y = torch.from_numpy((np.arange(batch) % 2).astype("int64"))
+
+    attack(x, y)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        attack(x, y)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def get_baseline(remeasure: bool) -> float:
+    if BASELINE_CACHE.exists() and not remeasure:
+        return json.loads(BASELINE_CACHE.read_text())["torch_cpu_examples_per_sec"]
+    val = measure_torch_cpu()
+    BASELINE_CACHE.write_text(
+        json.dumps({"torch_cpu_examples_per_sec": val,
+                    "config": "PGD-10 LCNN+LFCC batch=8 torch-cpu"})
+    )
+    return val
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=BATCH)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--remeasure-baseline", action="store_true")
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    value = measure_jax(args.batch, args.iters)
+    if args.skip_baseline and not BASELINE_CACHE.exists():
+        vs = None
+    else:
+        baseline = get_baseline(args.remeasure_baseline)
+        vs = value / baseline if baseline else None
+
+    print(json.dumps({
+        "metric": "adv_examples_per_sec_pgd10_lcnn_lfcc",
+        "value": round(value, 2),
+        "unit": "examples/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

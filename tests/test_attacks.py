@@ -1,0 +1,182 @@
+"""Attack invariant tests on a fast toy detector.
+
+Mirrors the invariants the reference attacks guarantee: eps-ball
+membership (Linf/L2), [0,1] clamping, success against the surrogate,
+L0 budget (OnePixel), and the minmax wave round trip
+(src/aa/utils.py:4-14).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import adaa_tpu.attacks as attacks
+from adaa_tpu.attacks import core
+
+D = 64
+B = 16
+
+
+@pytest.fixture(scope="module")
+def toy():
+    """A fixed random linear 'detector': z = x @ w + b, (B, D) -> (B, 1).
+
+    Bias centered so the clean batch has mixed labels and |z| stays
+    small — attacks can actually cross the boundary.
+    """
+    rng = np.random.default_rng(7)
+    w_np = rng.standard_normal((D, 1)).astype(np.float32) / np.sqrt(D)
+    rng2 = np.random.default_rng(8)
+    x_np = rng2.random((B, D)).astype(np.float32)
+    b_np = -np.median(x_np @ w_np).astype(np.float32)
+
+    w = jnp.asarray(w_np)
+    b = jnp.asarray(b_np)
+
+    def logits_fn(x):
+        return x @ w + b
+
+    x = jnp.asarray(x_np)
+    y = core.predicted_label(logits_fn(x))  # model is 100% correct on x
+    return logits_fn, x, y
+
+
+def _acc(logits_fn, x, y):
+    return float((core.predicted_label(logits_fn(x)) == y).mean())
+
+
+class TestCore:
+    def test_two_class_ce_matches_materialized(self, toy):
+        logits_fn, x, y = toy
+        z = logits_fn(x)
+        logits2 = core.two_class_logits(z)
+        # manual CE over the 2-class logits
+        logz = jax.nn.log_softmax(logits2, axis=1)
+        manual = -jnp.take_along_axis(logz, y[:, None], axis=1).mean()
+        ours = core.two_class_ce(z, y)
+        np.testing.assert_allclose(float(ours), float(manual), rtol=1e-5, atol=1e-6)
+
+    def test_minmax_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 100)).astype(np.float32))
+        x01, mn, mx = core.to_minmax(x)
+        assert float(x01.min()) >= 0 and float(x01.max()) <= 1
+        back = core.revert_minmax(x01, mn, mx)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+class TestGradientAttacks:
+    def test_fgsm_ball_and_success(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("FGSM", logits_fn, {"eps": 0.1})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(0))
+        delta = np.asarray(adv - x)
+        assert np.abs(delta).max() <= 0.1 + 1e-6
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert _acc(logits_fn, adv, y) < _acc(logits_fn, x, y)
+
+    def test_pgd_ball(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("PGD", logits_fn, {"eps": 0.05, "steps": 10})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(1))
+        delta = np.asarray(adv - x)
+        assert np.abs(delta).max() <= 0.05 + 1e-6
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        # big-eps/alpha PGD on a linear model must fool everything
+        atk2 = attacks.build_attack(
+            "PGD", logits_fn, {"eps": 0.5, "alpha": 0.1, "steps": 20}
+        )
+        adv2 = jax.jit(atk2)(x, y, jax.random.PRNGKey(2))
+        assert _acc(logits_fn, adv2, y) < 0.2
+
+    def test_pgdl2_ball(self, toy):
+        logits_fn, x, y = toy
+        eps = 0.7
+        atk = attacks.build_attack("PGDL2", logits_fn, {"eps": eps, "steps": 10})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(3))
+        l2 = np.asarray(core.flat_norms(adv - x, "l2"))
+        assert (l2 <= eps + 1e-4).all()
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+    def test_registry_params_match_reference(self):
+        reg = attacks.ATTACK_REGISTRY
+        assert reg["PGD"][1] == {"eps": 0.0005, "steps": 10}
+        assert reg["PGDL2_eps20"][1] == {"eps": 0.20, "steps": 10}
+        assert reg["FGSM_eps00075"][1] == {"eps": 0.00075}
+        assert reg["FAB_eta30"][1] == {"n_classes": 2, "eta": 30}
+        assert reg["NO_ATTACK"] == (None, {})
+        assert attacks.build_attack("NO_ATTACK", lambda x: x) is None
+
+
+class TestCW:
+    def test_cw_improves_and_stays_in_box(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "CW", logits_fn, {"c": 1.0, "steps": 100, "lr": 0.05}
+        )
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(4))
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert _acc(logits_fn, adv, y) < 1.0
+        # unsuccessful samples stay exactly at the original (best_adv init)
+        flipped = np.asarray(core.predicted_label(logits_fn(adv)) != y)
+        unflipped_delta = np.asarray(jnp.abs(adv - x)).max(axis=1)[~flipped]
+        if unflipped_delta.size:
+            assert unflipped_delta.max() < 1e-5
+
+
+class TestFAB:
+    def test_fab_only_moves_fooled_samples(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("FAB", logits_fn, {"n_classes": 2, "eta": 1.05})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(5))
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        moved = np.asarray(jnp.abs(adv - x).max(axis=1)) > 1e-6
+        still_correct = np.asarray(core.predicted_label(logits_fn(adv)) == y)
+        # every moved sample must be adversarial (FAB keeps x on failure)
+        assert not (moved & still_correct).any()
+        # on a linear model FAB should fool most points within eps=0.3
+        assert moved.mean() > 0.5
+
+    def test_fab_minimal_norm_reasonable(self, toy):
+        """FAB's perturbation should be ~ the distance to the linear
+        decision boundary (it is exactly computable for a linear model)."""
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("FAB", logits_fn, {"n_classes": 2, "eta": 1.05})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(6))
+        moved = np.asarray(jnp.abs(adv - x).max(axis=1)) > 1e-6
+        linf = np.asarray(core.flat_norms(adv - x, "linf"))
+        # boundary distance in Linf for linear z: |z| / ||w||_1
+        z = np.asarray(logits_fn(x)).squeeze(-1)
+        w = np.asarray(jax.grad(lambda xx: logits_fn(xx).sum())(x))[0]
+        dist = np.abs(z) / np.abs(w).sum()
+        # within a small factor of optimal for fooled samples
+        ratio = linf[moved] / np.maximum(dist[moved], 1e-9)
+        assert np.median(ratio) < 3.0
+
+
+class TestOnePixel:
+    def test_l0_budget(self, toy):
+        logits_fn, x, y = toy
+        from adaa_tpu.attacks.onepixel import onepixel as op
+
+        # small steps/pop to keep the test quick
+        atk = op(logits_fn, pixels=1, steps=5, popsize=30, inf_batch=64)
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(7))
+        changed = np.asarray(adv != x).sum(axis=1)
+        assert (changed <= 1).all()
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+
+class TestWaveSpaceWrapper:
+    def test_attack_in_wave_space(self, toy):
+        logits_fn, x01, y = toy
+        # pretend x is a raw wave with arbitrary scale
+        wave = (x01 - 0.3) * 12.0
+        atk = attacks.build_attack("FGSM", logits_fn, {"eps": 0.01})
+        wrapped = core.attack_in_wave_space(atk)
+        adv_wave = jax.jit(wrapped)(wave, y, jax.random.PRNGKey(8))
+        assert adv_wave.shape == wave.shape
+        # perturbation bounded by eps * per-sample range
+        rng_ = np.asarray(wave.max(axis=1) - wave.min(axis=1))
+        delta = np.abs(np.asarray(adv_wave - wave)).max(axis=1)
+        assert (delta <= 0.01 * rng_ + 1e-5).all()

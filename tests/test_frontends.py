@@ -1,0 +1,141 @@
+"""Frontend parity tests.
+
+The STFT conventions (framing, reflect pad, window padding, DFT sign)
+are cross-checked against ``torch.stft`` from torch core — the same
+primitive torchaudio's transforms are built on (reference:
+src/frontends.py). Filterbank/DCT matrices are checked against
+independent numpy constructions of torchaudio's published formulas.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu.ops import filterbanks as fb
+from adaa_tpu.ops import frontends
+from adaa_tpu.ops import stft as stft_ops
+
+torch = pytest.importorskip("torch")
+
+
+def _rand_wave(rng, batch=2, length=16000):
+    return (rng.standard_normal((batch, length)) * 0.1).astype(np.float32)
+
+
+class TestSTFT:
+    @pytest.mark.parametrize("window_kind", ["hann", "ones"])
+    def test_matches_torch_stft(self, rng, window_kind):
+        x = _rand_wave(rng)
+        n_fft, hop, win = 512, 160, 400
+
+        if window_kind == "hann":
+            t_window = torch.hann_window(win)
+        else:
+            t_window = None
+        ref = torch.stft(
+            torch.from_numpy(x),
+            n_fft=n_fft,
+            hop_length=hop,
+            win_length=win,
+            window=t_window,
+            return_complex=True,
+        )
+        real, imag = stft_ops.stft(
+            jnp.asarray(x), n_fft=n_fft, hop_length=hop, win_length=win,
+            window=window_kind,
+        )
+        np.testing.assert_allclose(
+            np.asarray(real), ref.real.numpy(), atol=2e-3, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(imag), ref.imag.numpy(), atol=2e-3, rtol=1e-4
+        )
+
+    def test_frame_count(self):
+        assert stft_ops.frame_count(64600, 512, 160) == 404
+
+    def test_differentiable(self, rng):
+        x = jnp.asarray(_rand_wave(rng, batch=1, length=4000))
+        g = jax.grad(lambda w: jnp.sum(stft_ops.spectrogram(w)))(x)
+        assert g.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestFilterbanks:
+    def test_linear_fbank_properties(self):
+        mat = fb.linear_fbanks(257, 0.0, 8000.0, 128, 16000)
+        assert mat.shape == (257, 128)
+        # triangles peak at 1 and partition frequencies
+        assert mat.max() <= 1.0 + 1e-6
+        assert (mat >= 0).all()
+        # interior frequencies are covered by at least one filter
+        coverage = mat[3:-3].sum(axis=1)
+        assert (coverage > 0).all()
+
+    def test_mel_htk_roundtrip(self):
+        f = np.array([0.0, 100.0, 1000.0, 8000.0])
+        np.testing.assert_allclose(fb.mel_to_hz(fb.hz_to_mel(f)), f, rtol=1e-9)
+
+    def test_dct_orthonormal(self):
+        # ortho DCT-II: columns orthonormal under the n_mels inner product
+        d = fb.create_dct(80, 128, norm="ortho").astype(np.float64)  # (128, 80)
+        gram = d.T @ d
+        np.testing.assert_allclose(gram, np.eye(80), atol=1e-5)
+
+    def test_amplitude_to_db(self):
+        x = jnp.asarray([1.0, 10.0, 1e-20])
+        out = np.asarray(fb.amplitude_to_db_power(x))
+        np.testing.assert_allclose(out, [0.0, 10.0, -100.0], atol=1e-3)
+
+
+class TestFrontends:
+    def test_lfcc_shape(self, rng):
+        x = jnp.asarray(_rand_wave(rng, batch=2, length=64600))
+        out = frontends.lfcc(x)
+        assert out.shape == (2, 80, 404)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_mfcc_shape(self, rng):
+        x = jnp.asarray(_rand_wave(rng, batch=2, length=64600))
+        out = frontends.mfcc(x)
+        assert out.shape == (2, 80, 404)
+
+    def test_mel_spec_shape(self, rng):
+        x = jnp.asarray(_rand_wave(rng, batch=2, length=64600))
+        out = frontends.mel_spec(x)
+        assert out.shape == (2, 2, 80, 404)
+
+    def test_lfcc_matches_manual_torch_pipeline(self, rng):
+        """End-to-end LFCC against an independent torch-core pipeline."""
+        x = _rand_wave(rng, batch=1, length=16000)
+        spec = torch.stft(
+            torch.from_numpy(x),
+            n_fft=512,
+            hop_length=160,
+            win_length=400,
+            window=torch.hann_window(400),
+            return_complex=True,
+        ).abs() ** 2
+        filt = torch.from_numpy(fb.linear_fbanks(257, 0.0, 8000.0, 128, 16000))
+        banked = torch.matmul(spec.transpose(-2, -1), filt).transpose(-2, -1)
+        banked_db = 10.0 * torch.log10(torch.clamp(banked, min=1e-10))
+        dct = torch.from_numpy(fb.create_dct(80, 128, norm="ortho"))
+        ref = torch.matmul(banked_db.transpose(-2, -1), dct).transpose(-2, -1)
+
+        out = frontends.lfcc(jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.numpy(), atol=2e-2, rtol=1e-4
+        )
+
+    def test_get_frontend_dispatch(self):
+        assert frontends.get_frontend(["lfcc"]) is frontends.lfcc
+        assert frontends.get_frontend(["mfcc"]) is frontends.mfcc
+        assert frontends.get_frontend(["mel_spec"]) is frontends.mel_spec
+        with pytest.raises(ValueError):
+            frontends.get_frontend(["bogus"])
+
+    def test_differentiable_through_lfcc(self, rng):
+        x = jnp.asarray(_rand_wave(rng, batch=1, length=8000))
+        g = jax.grad(lambda w: jnp.sum(frontends.lfcc(w)))(x)
+        assert bool(jnp.all(jnp.isfinite(g)))

@@ -1,0 +1,116 @@
+"""Model forward-shape + determinism tests.
+
+Mirrors the reference's __main__ smoke blocks (src/models/lcnn.py:246-263,
+specrnet.py:217-258, rawnet3.py:294-322) as a real pytest suite; logit
+parity against torch oracles lives in test_torch_parity.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu import models
+
+B = 2
+SHORT_WAVE = 16_000  # short waves keep CPU tests fast
+
+
+def _wave(rng, length=SHORT_WAVE):
+    return jnp.asarray((rng.standard_normal((B, length)) * 0.05).astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        ("lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}),
+        ("lcnn", {"input_channels": 2, "frontend_algorithm": ["mel_spec"]}),
+        ("specrnet", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}),
+    ],
+)
+def test_forward_shape_wave_input(rng, name, params):
+    module = models.get_model(name, params)
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    out = module.apply(variables, _wave(rng), train=False)
+    assert out.shape == (B, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_lcnn_feature_input(rng):
+    module = models.get_model("lcnn", {"input_channels": 1})
+    feat = jnp.asarray(rng.standard_normal((B, 1, 80, 404)).astype(np.float32))
+    variables = module.init({"params": jax.random.PRNGKey(0)}, feat, train=False)
+    out = module.apply(variables, feat, train=False)
+    assert out.shape == (B, 1)
+
+
+def test_specrnet_feature_input(rng):
+    module = models.get_model("specrnet", {"input_channels": 1})
+    feat = jnp.asarray(rng.standard_normal((B, 1, 80, 404)).astype(np.float32))
+    variables = module.init({"params": jax.random.PRNGKey(0)}, feat, train=False)
+    out = module.apply(variables, feat, train=False)
+    assert out.shape == (B, 1)
+
+
+@pytest.mark.slow
+def test_rawnet3_forward_shape(rng):
+    module = models.get_model("rawnet3", {})
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    out = module.apply(variables, _wave(rng), train=False)
+    assert out.shape == (B, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_train_mode_updates_batch_stats(rng):
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    out, mutated = module.apply(
+        variables,
+        _wave(rng),
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out.shape == (B, 1)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
+    )
+    assert changed, "train=True must update running stats"
+
+
+def test_eval_mode_is_deterministic(rng):
+    module = models.get_model(
+        "specrnet", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    x = _wave(rng)
+    a = module.apply(variables, x, train=False)
+    b = module.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_wrt_input_flows(rng):
+    """Attacks need d(logit)/d(wave) through frontend + model."""
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    x = _wave(rng)
+    g = jax.grad(lambda w: module.apply(variables, w, train=False).sum())(x)
+    assert g.shape == x.shape
+    assert bool(jnp.any(g != 0))
+    assert bool(jnp.all(jnp.isfinite(g)))

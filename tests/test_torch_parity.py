@@ -1,0 +1,117 @@
+"""Logit parity: JAX models vs independent torch oracles.
+
+Random-initialized torch models (with perturbed BN running stats) are
+exported as state_dicts, imported through the checkpoint converters,
+and compared logit-for-logit — the strongest checkpoint-compat check
+available without the real datasets (BASELINE.json requires importing
+the reference's ckpt.pth files).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from adaa_tpu import models  # noqa: E402
+from adaa_tpu.models import torch_import  # noqa: E402
+from tests.oracles.torch_models import TorchLCNN, TorchSpecRNet  # noqa: E402
+
+B = 2
+WAVE_LEN = 16_000
+
+
+def _randomize_bn_stats(model, rng):
+    """Give running stats non-trivial values so the import is exercised."""
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.copy_(
+                torch.from_numpy(rng.standard_normal(
+                    m.running_mean.shape).astype(np.float32) * 0.1)
+            )
+            m.running_var.copy_(
+                torch.from_numpy(
+                    1.0 + 0.3 * rng.random(m.running_var.shape).astype(np.float32)
+                )
+            )
+
+
+def _np_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+class TestLCNNParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.default_rng(0)
+        torch.manual_seed(0)
+        oracle = TorchLCNN(input_channels=1, num_coefficients=80)
+        oracle.eval()
+        with torch.no_grad():
+            _randomize_bn_stats(oracle, rng)
+
+        module = models.get_model(
+            "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+        )
+        variables = models.init_model(
+            module, jax.random.PRNGKey(0), wave_length=WAVE_LEN
+        )
+        variables = torch_import.import_state_dict(
+            "lcnn", _np_sd(oracle), variables
+        )
+        return oracle, module, variables
+
+    def test_feature_input_parity(self, pair, rng):
+        oracle, module, variables = pair
+        feat = rng.standard_normal((B, 1, 80, 101)).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(feat)).numpy()
+        out = np.asarray(module.apply(variables, jnp.asarray(feat), train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    def test_wave_input_parity(self, pair, rng):
+        oracle, module, variables = pair
+        wave = (rng.standard_normal((B, WAVE_LEN)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(wave)).numpy()
+        out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+class TestSpecRNetParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.default_rng(1)
+        torch.manual_seed(1)
+        oracle = TorchSpecRNet(input_channels=1)
+        oracle.eval()
+        with torch.no_grad():
+            _randomize_bn_stats(oracle, rng)
+
+        module = models.get_model(
+            "specrnet", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+        )
+        variables = models.init_model(
+            module, jax.random.PRNGKey(1), wave_length=WAVE_LEN
+        )
+        variables = torch_import.import_state_dict(
+            "specrnet", _np_sd(oracle), variables
+        )
+        return oracle, module, variables
+
+    def test_feature_input_parity(self, pair, rng):
+        oracle, module, variables = pair
+        feat = rng.standard_normal((B, 1, 80, 404)).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(feat)).numpy()
+        out = np.asarray(module.apply(variables, jnp.asarray(feat), train=False))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    def test_wave_input_parity(self, pair, rng):
+        oracle, module, variables = pair
+        wave = (rng.standard_normal((B, WAVE_LEN)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(wave)).numpy()
+        out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)

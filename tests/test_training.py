@@ -1,0 +1,141 @@
+"""Trainer tests: clean training learns, strategies match reference math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu import models
+from adaa_tpu.data.synthetic import SyntheticDataset
+from adaa_tpu.training.adv_trainer import (
+    ADV_TRAINER_REGISTRY,
+    AdaptiveAdversarialGDTrainer,
+    AdaptiveV2AdversarialGDTrainer,
+    AdversarialGDTrainer,
+    EqualAdversarialGDTrainer,
+    OnlyOneAdversarialGDTrainer,
+    multi_f1_score,
+)
+from adaa_tpu.training.gd_trainer import GDTrainer, bce_with_logits
+
+WAVE_LEN = 8_000
+
+
+def test_multi_f1_score_golden():
+    # len * prod / sum (trainer.py:220-224)
+    assert multi_f1_score([1.0, 0.5]) == pytest.approx(2 * 0.5 / 1.5)
+    assert multi_f1_score([0.9, 0.8, 0.7]) == pytest.approx(3 * 0.504 / 2.4)
+
+
+def test_bce_with_logits_matches_manual():
+    z = jnp.asarray([[2.0], [-1.0], [0.0]])
+    y = jnp.asarray([1, 0, 1])
+    manual = -(np.log(1 / (1 + np.exp(-2.0)))
+               + np.log(1 - 1 / (1 + np.exp(1.0)))
+               + np.log(0.5)) / 3
+    assert float(bce_with_logits(z, y)) == pytest.approx(manual, rel=1e-5)
+
+
+def test_registry_names_match_reference():
+    assert set(ADV_TRAINER_REGISTRY) == {
+        "ONLY_ADV", "RANDOM", "ADAPTIVE", "ADAPTIVE_V2", "EQUAL"
+    }
+    assert ADV_TRAINER_REGISTRY["RANDOM"] is AdversarialGDTrainer
+    assert ADV_TRAINER_REGISTRY["EQUAL"] is EqualAdversarialGDTrainer
+    assert ADV_TRAINER_REGISTRY["ONLY_ADV"] is OnlyOneAdversarialGDTrainer
+    assert ADV_TRAINER_REGISTRY["ADAPTIVE"] is AdaptiveAdversarialGDTrainer
+    assert ADV_TRAINER_REGISTRY["ADAPTIVE_V2"] is AdaptiveV2AdversarialGDTrainer
+
+
+def test_adaptive_weight_update_golden():
+    """Replicates trainer.py:544-557 arithmetic."""
+    t = AdaptiveAdversarialGDTrainer(epochs=1, batch_size=4)
+    t.attacks = [("A", None), ("B", None)]
+    t.adv_attacks_weights = [1 / 3] * 3
+    t.last_adv_attack = 0
+    t.update_adv_attack(batch_loss=0.5)
+    # w0 = .2*.5 + .8/3 = 0.3667; sum = 0.3667+2/3 = 1.0333
+    w = t.adv_attacks_weights
+    expected0 = 0.5 * (0.36666667 / 1.03333333) + 0.5 / 3
+    assert w[0] == pytest.approx(expected0, rel=1e-6)
+    assert sum(w) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_adaptive_v2_weight_update_golden():
+    """Replicates trainer.py:560-581 arithmetic."""
+    t = AdaptiveV2AdversarialGDTrainer(epochs=1, batch_size=4)
+    t.attacks = [("A", None), ("B", None)]
+    t.adv_attacks_weights = [1 / 3] * 3
+    t.last_adv_attack = 2  # the no-attack arm
+    t.update_adv_attack(batch_loss=2.0)  # clipped to max_val=1
+    w = t.adv_attacks_weights
+    # w2 = .2*1 + .8/3 = 0.46667; sum = 2/3 + 0.46667 = 1.13333
+    # normalized*0.5 then + 0.5*(2/3)/2 for attacks, + 0.5*(1/3) for last
+    s = 2 / 3 + 0.4666666667
+    assert w[0] == pytest.approx(0.5 * ((1 / 3) / s) + 0.5 * (1 / 3), rel=1e-6)
+    assert w[2] == pytest.approx(0.5 * (0.4666666667 / s) + 0.5 * (1 / 3),
+                                 rel=1e-6)
+
+
+def test_only_one_asserts_single_attack():
+    t = OnlyOneAdversarialGDTrainer(epochs=1, batch_size=4)
+    with pytest.raises(AssertionError):
+        t.init_adv_attacks(None, ["FGSM", "PGD"])
+
+
+@pytest.mark.slow
+def test_gd_trainer_learns_synthetic():
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    key = jax.random.PRNGKey(0)
+    variables = models.init_model(module, key, wave_length=WAVE_LEN)
+
+    train_ds = SyntheticDataset(n=96, subset="train", wave_length=WAVE_LEN)
+    test_ds = SyntheticDataset(n=32, subset="test", wave_length=WAVE_LEN)
+
+    trainer = GDTrainer(epochs=2, batch_size=16, optimizer_kwargs={"lr": 1e-3})
+    best = trainer.train(train_ds, module, variables, test_dataset=test_ds,
+                         key=key)
+
+    # the synthetic task is linearly separable: 2 epochs should beat chance
+    from adaa_tpu.training.gd_trainer import make_eval_step
+
+    eval_step = make_eval_step(module.apply)
+    correct = total = 0
+    from adaa_tpu.data.loader import DataLoader
+
+    for batch in DataLoader(test_ds, 16, shuffle=False, num_workers=1):
+        _, c, _ = eval_step(best, jnp.asarray(batch[0]), jnp.asarray(batch[2]))
+        correct += int(c)
+        total += batch[0].shape[0]
+    assert correct / total > 0.7
+
+
+@pytest.mark.slow
+def test_adversarial_trainer_self_attack_runs():
+    """ONLY_ADV with self-attack (attack_variables=None): one epoch of
+    FGSM adversarial training completes and returns variables."""
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    key = jax.random.PRNGKey(1)
+    variables = models.init_model(module, key, wave_length=WAVE_LEN)
+
+    train_ds = SyntheticDataset(n=32, subset="train", wave_length=WAVE_LEN)
+    test_ds = SyntheticDataset(n=16, subset="test", wave_length=WAVE_LEN)
+
+    trainer = ADV_TRAINER_REGISTRY["ONLY_ADV"](
+        epochs=1, batch_size=8, optimizer_kwargs={"lr": 1e-4}
+    )
+    best = trainer.train(
+        dataset=train_ds,
+        module=module,
+        variables=variables,
+        attack_module=module,
+        attack_variables=None,  # self-attack
+        adversarial_attacks=["FGSM"],
+        test_dataset=test_ds,
+        key=key,
+    )
+    assert "params" in best and "batch_stats" in best
