@@ -44,10 +44,29 @@ ATTACK_REGISTRY: Dict[str, Tuple[Optional[Callable], Dict[str, Any]]] = {
     "NO_ATTACK": (None, {}),
 }
 
-# adapted in the reference's vendored library but outside its AttackEnum
+# adapted in the reference's vendored library but outside its AttackEnum,
+# plus audio-adapted versions of the fork's stock attacks (attacks/extra.py)
+from adaa_tpu.attacks import extra as _extra
+
 EXTRA_ATTACKS: Dict[str, Callable] = {
     "CW": cw,
     "OnePixel": onepixel,
+    "VANILA": _extra.vanila,
+    "GN": _extra.gn,
+    "BIM": _extra.bim,
+    "RFGSM": _extra.rfgsm,
+    "FFGSM": _extra.ffgsm,
+    "TPGD": _extra.tpgd,
+    "EOTPGD": _extra.eotpgd,
+    "MIFGSM": _extra.mifgsm,
+    "NIFGSM": _extra.nifgsm,
+    "SINIFGSM": _extra.sinifgsm,
+    "VMIFGSM": _extra.vmifgsm,
+    "VNIFGSM": _extra.vnifgsm,
+    "DIFGSM": _extra.difgsm,
+    "UPGD": _extra.upgd,
+    "Jitter": _extra.jitter,
+    "DeepFool": _extra.deepfool,
 }
 
 

@@ -127,6 +127,16 @@ def apply_trim(
     win = max(1, int(window_s * sample_rate))
     min_run = int(duration_s * sample_rate)
 
+    # native C path (identical semantics; tests/test_native.py)
+    from adaa_tpu.data import native
+
+    if native.available():
+        kept = native.trim_silence(mono, sample_rate, threshold,
+                                   duration_s, window_s)
+        if kept is not None:
+            out = kept[None, :] if squeeze else kept
+            return out.astype(np.float32), sample_rate
+
     if n < win + 1:
         return waveform, sample_rate
 
@@ -152,8 +162,12 @@ def apply_trim(
     if not active.any():
         return waveform, sample_rate  # keep original when fully silent
 
-    # leading silence: drop everything before the first active sample
-    first = int(np.argmax(active))
+    # leading silence: sox starts output at the first above-threshold
+    # sample of the triggering period — refine the painted activity edge
+    # to the first sample that is both active and individually loud
+    loud = np.abs(mono) >= threshold
+    lead = active & loud
+    first = int(np.argmax(lead)) if lead.any() else int(np.argmax(active))
 
     # interior/trailing: drop silent runs longer than min_run
     keep = np.ones(n, bool)
@@ -190,6 +204,12 @@ def apply_pad(waveform: np.ndarray, cut: int = WAVE_FAKE_CUT) -> np.ndarray:
     """Repeat-pad/cut to exactly ``cut`` samples
     (PadDataset.apply_pad, base_dataset.py:343-355)."""
     w = waveform[0] if waveform.ndim == 2 else waveform
+    from adaa_tpu.data import native
+
+    if native.available():
+        out = native.repeat_pad(w, cut)
+        if out is not None:
+            return out
     length = w.shape[-1]
     if length >= cut:
         return w[:cut]

@@ -1,0 +1,109 @@
+"""ctypes binding for the native host-DSP library (native/adaa_dsp.cpp).
+
+Auto-builds the shared library on first use when a compiler is present
+(``make -C native``); every entry point has a numpy fallback, so the
+data layer works without the native build. The semantics intentionally
+match adaa_tpu.data.base's numpy implementations (tested equal in
+tests/test_native.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libadaa_dsp.so"
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception as e:  # pragma: no cover
+            LOGGER.info("native DSP build unavailable (%s); using numpy", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:  # pragma: no cover
+        return None
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.adaa_normalize_i16.argtypes = [i16p, f32p, ctypes.c_int64]
+    lib.adaa_trim_silence.argtypes = [
+        f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float,
+    ]
+    lib.adaa_trim_silence.restype = ctypes.c_int64
+    lib.adaa_repeat_pad.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def normalize_i16(pcm: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    out = np.empty(pcm.shape, np.float32)
+    lib.adaa_normalize_i16(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pcm.size,
+    )
+    return out
+
+
+def trim_silence(
+    x: np.ndarray, sample_rate: int, threshold: float = 0.01,
+    duration_s: float = 0.2, window_s: float = 0.02,
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    out = np.empty_like(x)
+    win = max(1, int(window_s * sample_rate))
+    min_run = int(duration_s * sample_rate)
+    kept = lib.adaa_trim_silence(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        win, min_run, threshold,
+    )
+    return out[:kept].copy()
+
+
+def repeat_pad(x: np.ndarray, cut: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    out = np.empty(cut, np.float32)
+    lib.adaa_repeat_pad(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cut,
+    )
+    return out

@@ -70,19 +70,33 @@ def max_feature_map(x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.maximum(a, b)
 
 
-def max_pool_2d(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
-    """torch MaxPool2d with floor mode on NHWC input (discards remainder)."""
-    h, w = x.shape[1], x.shape[2]
-    x = x[:, : (h // stride) * stride, : (w // stride) * stride, :]
-    return nn.max_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+def max_pool_2d(x: jax.Array, window: int = 2, stride: int = None) -> jax.Array:
+    """torch MaxPool2d with floor mode on NHWC input (discards remainder).
+
+    Implemented as reshape + max instead of ``reduce_window``: the
+    gradient of reduce_window is SelectAndScatter, which costs seconds
+    per call on TPU; the reshape formulation differentiates as a cheap
+    compare-and-select. Requires window == stride (all reference models
+    use square non-overlapping pools).
+    """
+    stride = stride or window
+    assert window == stride, "non-overlapping pools only"
+    b, h, w, c = x.shape
+    h2, w2 = h // window, w // window
+    x = x[:, : h2 * window, : w2 * window, :]
+    x = x.reshape(b, h2, window, w2, window, c)
+    return x.max(axis=(2, 4))
 
 
 def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
-    """torch MaxPool1d with floor mode on NLC input."""
+    """torch MaxPool1d with floor mode on NLC input (reshape + max —
+    see max_pool_2d for why not reduce_window)."""
     stride = stride or window
-    l = x.shape[1]
-    x = x[:, : (l // stride) * stride, :]
-    return nn.max_pool(x, (window,), strides=(stride,), padding="VALID")
+    assert window == stride, "non-overlapping pools only"
+    b, l, c = x.shape
+    l2 = l // window
+    x = x[:, : l2 * window, :]
+    return x.reshape(b, l2, window, c).max(axis=2)
 
 
 # ---------------------------------------------------------------------------

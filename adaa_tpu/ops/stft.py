@@ -75,6 +75,67 @@ def frame_count(length: int, n_fft: int, hop_length: int, center: bool = True) -
     return 1 + (length - n_fft) // hop_length
 
 
+@functools.lru_cache(maxsize=16)
+def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int, window: str):
+    """Strided windowed-DFT (B, Lp) -> (B, 2F, T) with a custom VJP.
+
+    Forward is one strided conv (good MXU code on TPU). The *automatic*
+    backward of that conv is an input-dilated transposed conv, which
+    XLA:TPU compiles and runs catastrophically slowly — so the VJP is
+    closed form instead:
+
+        dL/dxp[m] = sum_t G[t, m - t*hop],  G = einsum(g, K)
+
+    i.e. one (B,2F,T)x(2F,n_fft) matmul followed by an overlap-add of
+    hop-sized chunks implemented as ceil(n_fft/hop) shifted adds —
+    all cheap, static-shaped ops.
+    """
+    kern_np = _dft_kernel(n_fft, win_length, window)  # (2F, 1, n_fft)
+    kern2d_np = kern_np[:, 0, :]  # (2F, n_fft)
+
+    @jax.custom_vjp
+    def windowed_dft(xp):
+        out = jax.lax.conv_general_dilated(
+            xp[:, None, :],
+            jnp.asarray(kern_np),
+            window_strides=(hop_length,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, 2F, T)
+        return out
+
+    def fwd(xp):
+        return windowed_dft(xp), (xp.shape[0], xp.shape[1])
+
+    def bwd(res, g):
+        b, lp = res
+        t = g.shape[-1]
+        s = hop_length
+        c = -(-n_fft // s)  # chunks per frame
+        gg = jnp.einsum(
+            "bft,fn->btn", g, jnp.asarray(kern2d_np),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, T, n_fft)
+        gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c * s - n_fft)))
+        gg = gg.reshape(b, t, c, s)
+        rows = t + c - 1
+        acc = jnp.zeros((b, rows, s), gg.dtype)
+        for j in range(c):
+            acc = acc.at[:, j : j + t].add(gg[:, :, j])
+        dxp = acc.reshape(b, rows * s)
+        if rows * s >= lp:
+            dxp = dxp[:, :lp]
+        else:  # pragma: no cover — rows*s >= lp by construction
+            dxp = jnp.pad(dxp, ((0, 0), (0, lp - rows * s)))
+        return (dxp,)
+
+    windowed_dft.defvjp(fwd, bwd)
+    return windowed_dft
+
+
 def stft(
     x: jax.Array,
     n_fft: int = 512,
@@ -97,29 +158,21 @@ def stft(
     """
     batch_shape = x.shape[:-1]
     length = x.shape[-1]
-    x2 = x.reshape((-1, 1, length))
+    x2 = x.reshape((-1, length)).astype(jnp.float32)
 
     if center:
         pad = n_fft // 2
-        x2 = jnp.pad(x2, ((0, 0), (0, 0), (pad, pad)), mode=pad_mode)
+        x2 = jnp.pad(x2, ((0, 0), (pad, pad)), mode=pad_mode)
 
-    kern = jnp.asarray(_dft_kernel(n_fft, win_length, window))
-    out = jax.lax.conv_general_dilated(
-        x2.astype(jnp.float32),
-        kern,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (B, 2F, T)
+    out = _windowed_dft_fn(n_fft, hop_length, win_length, window)(x2)
+
     n_bins = n_fft // 2 + 1
+    n_frames = out.shape[-1]
     real = out[:, :n_bins, :]
     imag = out[:, n_bins:, :]
-    t = out.shape[-1]
     return (
-        real.reshape(batch_shape + (n_bins, t)),
-        imag.reshape(batch_shape + (n_bins, t)),
+        real.reshape(batch_shape + (n_bins, n_frames)),
+        imag.reshape(batch_shape + (n_bins, n_frames)),
     )
 
 

@@ -180,3 +180,55 @@ class TestWaveSpaceWrapper:
         rng_ = np.asarray(wave.max(axis=1) - wave.min(axis=1))
         delta = np.abs(np.asarray(adv_wave - wave)).max(axis=1)
         assert (delta <= 0.01 * rng_ + 1e-5).all()
+
+
+class TestExtraAttacks:
+    """Invariant checks for the audio-adapted stock-attack family."""
+
+    NAMES = ["VANILA", "GN", "BIM", "RFGSM", "FFGSM", "TPGD", "EOTPGD",
+             "MIFGSM", "NIFGSM", "SINIFGSM", "VMIFGSM", "VNIFGSM",
+             "DIFGSM", "UPGD", "Jitter", "DeepFool"]
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_box_and_shape(self, toy, name):
+        logits_fn, x, y = toy
+        params = {}
+        if name in ("BIM", "RFGSM", "MIFGSM", "NIFGSM", "SINIFGSM",
+                    "VMIFGSM", "VNIFGSM", "DIFGSM", "UPGD", "Jitter",
+                    "EOTPGD", "TPGD"):
+            params["steps"] = 3
+        if name in ("VMIFGSM", "VNIFGSM"):
+            params["N"] = 2
+        atk = attacks.build_attack(name, logits_fn, params)
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(11))
+        assert adv.shape == x.shape
+        assert float(adv.min()) >= 0.0 and float(adv.max()) <= 1.0
+        assert bool(jnp.all(jnp.isfinite(adv)))
+
+    def test_vanila_is_identity(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("VANILA", logits_fn)
+        np.testing.assert_array_equal(
+            np.asarray(atk(x, y, jax.random.PRNGKey(0))), np.asarray(x)
+        )
+
+    def test_linf_family_respects_eps(self, toy):
+        logits_fn, x, y = toy
+        for name in ("BIM", "RFGSM", "MIFGSM", "UPGD"):
+            atk = attacks.build_attack(
+                name, logits_fn, {"eps": 0.03, "steps": 4}
+            )
+            adv = jax.jit(atk)(x, y, jax.random.PRNGKey(1))
+            assert np.abs(np.asarray(adv - x)).max() <= 0.03 + 1e-6, name
+
+    def test_deepfool_flips_and_freezes(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack("DeepFool", logits_fn, {"steps": 30})
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(2))
+        # on a linear model one deepfool step crosses the boundary
+        assert _acc(logits_fn, adv, y) < 0.5
+
+    def test_upgd_rejects_dlr(self, toy):
+        logits_fn, _, _ = toy
+        with pytest.raises(ValueError):
+            attacks.build_attack("UPGD", logits_fn, {"loss": "dlr"})

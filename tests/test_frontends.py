@@ -61,6 +61,39 @@ class TestSTFT:
         assert g.shape == x.shape
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_custom_vjp_matches_naive_gradient(self, rng):
+        """The closed-form STFT backward must equal autodiff of a naive
+        gather-based implementation."""
+        n_fft, hop, win = 64, 16, 48
+        x = jnp.asarray(_rand_wave(rng, batch=2, length=500))
+        kern = stft_ops._dft_kernel(n_fft, win, "hann")[:, 0, :]  # (2F, n_fft)
+
+        def naive(w):
+            pad = n_fft // 2
+            xp = jnp.pad(w, ((0, 0), (pad, pad)), mode="reflect")
+            t = 1 + (xp.shape[-1] - n_fft) // hop
+            idx = (jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :])
+            frames = xp[:, idx]  # (B, T, n_fft)
+            return jnp.einsum("btn,fn->bft", frames, jnp.asarray(kern))
+
+        def ours(w):
+            real, imag = stft_ops.stft(w, n_fft=n_fft, hop_length=hop,
+                                       win_length=win)
+            return jnp.concatenate([real, imag], axis=1)
+
+        # forwards agree
+        np.testing.assert_allclose(
+            np.asarray(ours(x)), np.asarray(naive(x)), atol=1e-4
+        )
+        # cotangent-weighted grads agree
+        key = jax.random.PRNGKey(0)
+        ct = jax.random.normal(key, ours(x).shape)
+        g_ours = jax.grad(lambda w: jnp.sum(ours(w) * ct))(x)
+        g_naive = jax.grad(lambda w: jnp.sum(naive(w) * ct))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_ours), np.asarray(g_naive), atol=1e-4
+        )
+
 
 class TestFilterbanks:
     def test_linear_fbank_properties(self):

@@ -115,3 +115,29 @@ class TestSpecRNetParity:
             ref = oracle(torch.from_numpy(wave)).numpy()
         out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
         np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+class TestRawNet3Parity:
+    def test_wave_parity(self, rng):
+        from tests.oracles.torch_rawnet3 import TorchRawNet3
+
+        torch.manual_seed(2)
+        oracle = TorchRawNet3()
+        oracle.eval()
+        with torch.no_grad():
+            _randomize_bn_stats(oracle, rng)
+
+        module = models.get_model("rawnet3", {})
+        variables = models.init_model(
+            module, jax.random.PRNGKey(2), wave_length=WAVE_LEN
+        )
+        variables = torch_import.import_state_dict(
+            "rawnet3", _np_sd(oracle), variables
+        )
+
+        wave = (rng.standard_normal((B, WAVE_LEN)) * 0.1).astype(np.float32)
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(wave)).numpy()
+        out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-2)
