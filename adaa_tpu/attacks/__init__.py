@@ -47,10 +47,17 @@ ATTACK_REGISTRY: Dict[str, Tuple[Optional[Callable], Dict[str, Any]]] = {
 # adapted in the reference's vendored library but outside its AttackEnum,
 # plus audio-adapted versions of the fork's stock attacks (attacks/extra.py)
 from adaa_tpu.attacks import extra as _extra
+from adaa_tpu.attacks.apgd import apgd, apgdt
+from adaa_tpu.attacks.composite import autoattack, multiattack  # noqa: F401
+from adaa_tpu.attacks.square import square
 
 EXTRA_ATTACKS: Dict[str, Callable] = {
     "CW": cw,
     "OnePixel": onepixel,
+    "APGD": apgd,
+    "APGDT": apgdt,
+    "Square": square,
+    "AutoAttack": autoattack,
     "VANILA": _extra.vanila,
     "GN": _extra.gn,
     "BIM": _extra.bim,
@@ -67,6 +74,9 @@ EXTRA_ATTACKS: Dict[str, Callable] = {
     "UPGD": _extra.upgd,
     "Jitter": _extra.jitter,
     "DeepFool": _extra.deepfool,
+    "TIFGSM": _extra.tifgsm,
+    "SparseFool": _extra.sparsefool,
+    "Pixle": _extra.pixle,
 }
 
 

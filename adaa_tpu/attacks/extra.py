@@ -424,3 +424,223 @@ def deepfool(logits_fn, steps: int = 50, overshoot: float = 0.02) -> core.Attack
         return adv
 
     return attack
+
+
+def tifgsm(logits_fn, eps: float = 8 / 255, alpha: float = 2 / 255,
+           steps: int = 10, decay: float = 1.0, kernel_name: str = "gaussian",
+           len_kernel: int = 15, nsig: int = 3, resize_rate: float = 0.9,
+           diversity_prob: float = 0.5, random_start: bool = False
+           ) -> core.AttackFn:
+    """TI-FGSM (tifgsm.py): translation-invariant gradient smoothing —
+    the 2-D kernel conv on the gradient (tifgsm.py:92) becomes a 1-D
+    kernel conv on the wave axis — combined with DIFGSM's input
+    diversity and MIFGSM momentum."""
+    import numpy as np
+    import scipy.stats as st
+
+    if kernel_name == "gaussian":
+        xk = np.linspace(-nsig, nsig, len_kernel)
+        kern1d = st.norm.pdf(xk)
+        kernel = (kern1d / kern1d.sum()).astype(np.float32)
+    elif kernel_name == "uniform":
+        kernel = (np.ones(len_kernel) / len_kernel).astype(np.float32)
+    elif kernel_name == "linear":
+        kern1d = 1 - np.abs(
+            np.linspace((-len_kernel + 1) / 2, (len_kernel - 1) / 2, len_kernel)
+            / (len_kernel ** 2)
+        )
+        kernel = (kern1d / kern1d.sum()).astype(np.float32)
+    else:
+        raise ValueError(kernel_name)
+    kernel_j = jnp.asarray(kernel)[:, None, None]  # (K, 1, 1) HIO
+
+    from adaa_tpu.attacks.extra import difgsm as _difgsm  # reuse diversity
+
+    def smooth(g):
+        pad = len(kernel) // 2
+        return jax.lax.conv_general_dilated(
+            g[:, :, None], kernel_j, (1,), [(pad, pad)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )[:, :, 0]
+
+    def diversity(x, k, length):
+        lo, hi = sorted((length, int(length * resize_rate)))
+        k1, k2, k3 = jax.random.split(k, 3)
+        rnd = jax.random.randint(k1, (), lo, max(hi, lo + 1))
+        scale = rnd.astype(jnp.float32) / length
+        shift = jax.random.randint(
+            k2, (), 0, jnp.maximum(length - rnd, 1)
+        ).astype(jnp.float32)
+        resized = jax.image.scale_and_translate(
+            x, x.shape, (x.ndim - 1,), scale[None], shift[None],
+            method="linear",
+        )
+        return jnp.where(jax.random.uniform(k3) < diversity_prob, resized, x)
+
+    def attack(x, y, key):
+        length = x.shape[-1]
+        key, k0 = jax.random.split(key)
+        adv0 = x
+        if random_start:
+            adv0 = jnp.clip(
+                x + jax.random.uniform(k0, x.shape, x.dtype, -eps, eps), 0, 1
+            )
+
+        def step(carry, k):
+            adv, momentum = carry
+            k1, _ = jax.random.split(k)
+            g = jax.grad(
+                lambda a: core.two_class_ce(
+                    logits_fn(diversity(a, k1, length)), y
+                )
+            )(adv)
+            g = smooth(g)
+            g = g / _mean_abs(g)
+            g = g + momentum * decay
+            momentum = g
+            adv = adv + alpha * jnp.sign(g)
+            adv = jnp.clip(x + jnp.clip(adv - x, -eps, eps), 0, 1)
+            return (adv, momentum), None
+
+        keys = jax.random.split(key, steps)
+        (adv, _), _ = jax.lax.scan(step, (adv0, jnp.zeros_like(x)), keys)
+        return adv
+
+    return attack
+
+
+def sparsefool(logits_fn, steps: int = 10, lam: float = 3.0,
+               overshoot: float = 0.02, max_inner: int = 20) -> core.AttackFn:
+    """SparseFool (sparsefool.py:44-129): DeepFool boundary point, then
+    an L1 linear solver that saturates one coordinate at a time. The
+    per-sample python while loops become batch-masked fixed-trip scans
+    (max_inner coordinate saturations per outer step)."""
+
+    def z_and_grad(x):
+        def zsum(xx):
+            z = logits_fn(xx).squeeze(-1)
+            return z.sum(), z
+
+        (_, z), g = jax.value_and_grad(zsum, has_aux=True)(x)
+        return z, g
+
+    def deepfool_step(adv):
+        z, g = z_and_grad(adv)
+        pred = (z > 0).astype(jnp.int32)
+        sign = (1.0 - 2.0 * pred.astype(adv.dtype))
+        f_prime = 2.0 * z * sign
+        w_prime = 2.0 * g * sign[:, None]
+        w_norm2 = jnp.sum(w_prime.reshape(adv.shape[0], -1) ** 2, axis=1) + 1e-12
+        delta = (jnp.abs(f_prime) / w_norm2)[:, None] * w_prime
+        return jnp.clip(adv + (1 + 0.02) * delta, 0, 1)
+
+    def attack(x, y, key):
+        b = x.shape[0]
+
+        def outer(adv, _):
+            z = logits_fn(adv).squeeze(-1)
+            still_correct = ((z > 0).astype(jnp.int32)) == y
+
+            boundary = deepfool_step(adv)
+            adv_l = x + lam * (boundary - x)
+
+            # gradient of (f_other - f_label) at the overshot point
+            z2, g2 = z_and_grad(adv_l)
+            pred2 = (z2 > 0).astype(jnp.int32)
+            tgt_sign = jnp.where(
+                pred2 == y, 1.0 - 2.0 * y.astype(x.dtype),
+                1.0 - 2.0 * y.astype(x.dtype),
+            )  # both cases: toward the other class of the true label
+            grad = 2.0 * g2 * tgt_sign[:, None]
+            gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, axis=1)) + 1e-12
+            grad = grad / gn[:, None]
+
+            # linear solver: saturate the largest-|grad| coordinate until
+            # the plane through adv_l with normal grad is crossed
+            plane_normal = grad
+            plane_point = adv_l
+
+            def solver_body(carry, _):
+                x_i, coord = carry
+                f_k = jnp.sum(
+                    plane_normal * (x_i - plane_point), axis=1
+                )
+                sign_true = jnp.sign(
+                    jnp.sum(plane_normal * (x - plane_point), axis=1) + 1e-12
+                )
+                active = (jnp.sign(f_k + 0.001 * sign_true) == sign_true) & (
+                    jnp.abs(coord).max(axis=1) > 0
+                )
+                f_kb = f_k + 0.001 * sign_true
+                pert = jnp.maximum(
+                    jnp.abs(f_kb) / (jnp.abs(coord).max(axis=1) + 1e-12), 1e-4
+                )
+                amax = jnp.argmax(jnp.abs(coord), axis=1)
+                mask = jax.nn.one_hot(amax, x.shape[1], dtype=x.dtype)
+                r_i = pert[:, None] * mask * jnp.sign(coord)
+                x_new = jnp.clip(x_i + r_i, 0, 1)
+                x_i = jnp.where(active[:, None], x_new, x_i)
+                coord = jnp.where(
+                    active[:, None], coord * (1.0 - mask), coord
+                )
+                return (x_i, coord), None
+
+            (x_i, _), _ = jax.lax.scan(
+                solver_body, (x, plane_normal), None, length=max_inner
+            )
+
+            adv_new = jnp.clip(x + (1 + overshoot) * (x_i - x), 0, 1)
+            adv = jnp.where(still_correct[:, None], adv_new, adv)
+            return adv, None
+
+        adv, _ = jax.lax.scan(outer, x, None, length=steps)
+        return adv
+
+    return attack
+
+
+def pixle(logits_fn, x_dimensions=(2, 10), restarts: int = 20,
+          max_iterations: int = 100) -> core.AttackFn:
+    """Pixle (pixle.py): black-box pixel-rearrangement search; the image
+    patches become wave segments — each query copies a random source
+    segment's values onto a random destination, accepted when the
+    true-class probability drops."""
+    lo = max(1, int(x_dimensions[0]))
+    hi = max(lo + 1, int(x_dimensions[1]))
+
+    def true_prob(x, y):
+        z = logits_fn(x).squeeze(-1)
+        sign = 2.0 * y.astype(z.dtype) - 1.0
+        return jax.nn.sigmoid(2.0 * sign * z)
+
+    def attack(x, y, key):
+        b, length = x.shape
+        idx = jnp.arange(length)[None, :]
+        best = x
+        best_p = true_prob(x, y)
+
+        def body(it, carry):
+            best, best_p, key = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            s = jax.random.randint(k1, (), lo, hi)
+            src = jax.random.randint(k2, (b, 1), 0, length - s + 1)
+            dst = jax.random.randint(k3, (b, 1), 0, length - s + 1)
+            # candidate: segment at dst replaced by values from src
+            shift = (src - dst)  # per sample
+            gather_idx = jnp.clip(idx + shift, 0, length - 1)
+            moved = jnp.take_along_axis(best, gather_idx, axis=1)
+            in_dst = (idx >= dst) & (idx < dst + s)
+            candidate = jnp.where(in_dst, moved, best)
+            p_new = true_prob(candidate, y)
+            accept = p_new < best_p
+            best = jnp.where(accept[:, None], candidate, best)
+            best_p = jnp.where(accept, p_new, best_p)
+            return (best, best_p, key)
+
+        best, best_p, _ = jax.lax.fori_loop(
+            0, restarts * max_iterations, body, (best, best_p, key)
+        )
+        originally_correct = core.predicted_label(logits_fn(x)) == y
+        return jnp.where(originally_correct[:, None], best, x)
+
+    return attack

@@ -17,10 +17,25 @@ import jax.numpy as jnp
 from adaa_tpu.attacks import core
 
 
-def fgsm(logits_fn: core.LogitsFn, eps: float = 0.007) -> core.AttackFn:
-    """One-step Linf: adv = clip(x + eps * sign(grad CE), 0, 1)."""
+def _make_cost_grad(logits_fn: core.LogitsFn, targeted: bool):
+    """Gradient of the attack cost: CE(y) untargeted, -CE(1-y) targeted
+    (2-class: the only possible target is the other class)."""
+    if targeted:
+        return jax.grad(
+            lambda x, y: -core.two_class_ce(logits_fn(x), 1 - y)
+        )
+    return jax.grad(lambda x, y: core.two_class_ce(logits_fn(x), y))
 
-    grad_fn = jax.grad(lambda x, y: core.two_class_ce(logits_fn(x), y))
+
+def fgsm(logits_fn: core.LogitsFn, eps: float = 0.007,
+         targeted: bool = False) -> core.AttackFn:
+    """One-step Linf: adv = clip(x + eps * sign(grad CE), 0, 1).
+
+    ``targeted=True`` uses ``-CE(target)`` with the only 2-class target
+    ``1 - y`` (torch ``set_mode_targeted`` semantics, fgsm.py:40-53).
+    """
+
+    grad_fn = _make_cost_grad(logits_fn, targeted)
 
     def attack(x, y, key):
         g = grad_fn(x, y)
@@ -35,10 +50,11 @@ def pgd(
     alpha: float = 2.0 / 255,
     steps: int = 40,
     random_start: bool = True,
+    targeted: bool = False,
 ) -> core.AttackFn:
     """Iterative Linf PGD with random start (pgd.py:40-78)."""
 
-    grad_fn = jax.grad(lambda x, y: core.two_class_ce(logits_fn(x), y))
+    grad_fn = _make_cost_grad(logits_fn, targeted)
 
     def attack(x, y, key):
         adv = x
@@ -65,12 +81,13 @@ def pgdl2(
     steps: int = 40,
     random_start: bool = True,
     eps_for_division: float = 1e-10,
+    targeted: bool = False,
 ) -> core.AttackFn:
     """Iterative L2 PGD (pgdl2.py:40-90): random start on a scaled
     sphere, per-sample L2-normalized gradient steps, eps-ball renorm.
     """
 
-    grad_fn = jax.grad(lambda x, y: core.two_class_ce(logits_fn(x), y))
+    grad_fn = _make_cost_grad(logits_fn, targeted)
 
     def attack(x, y, key):
         b = x.shape[0]

@@ -311,3 +311,77 @@ class FakeAVCelebDataset(SimpleAudioFakeDataset):
             samples["label"].append("bonafide")
             samples["path"].append(self.get_file_path(sample))
         return pd.DataFrame(samples)
+
+
+ASVSPOOF_2019_ATTACKS = [
+    "A01", "A07", "A08", "A02", "A09", "A10", "A03", "A04", "A05", "A06",
+    "A11", "A12", "A13", "A14", "A15", "A16", "A17", "A18", "A19",
+]
+ASVSPOOF_SPLIT = {
+    "train": ASVSPOOF_2019_ATTACKS,
+    "test": ASVSPOOF_2019_ATTACKS,
+    "val": ASVSPOOF_2019_ATTACKS,
+    "partition_ratio": [0.7, 0.15],
+    "seed": 45,
+}
+
+
+class ASVSpoofDataset(SimpleAudioFakeDataset):
+    """ASVspoof2019-LA manifest (asvspoof_dataset.py:16-92) — legacy:
+    not used by DetectionDataset in the reference either, kept for
+    inventory completeness."""
+
+    protocol_folder_name = "ASVspoof2019_LA_cm_protocols"
+    subset_dir_prefix = "ASVspoof2019_LA_"
+    subsets = ("train", "dev", "eval")
+
+    def __init__(self, path, subset="train", transform=None):
+        super().__init__(subset, transform)
+        self.path = path
+        self.allowed_attacks = ASVSPOOF_SPLIT[subset]
+        self.partition_ratio = ASVSPOOF_SPLIT["partition_ratio"]
+        self.seed = ASVSPOOF_SPLIT["seed"]
+
+        self.samples = pd.DataFrame()
+        for part in self.subsets:
+            subset_dir = Path(self.path) / f"{self.subset_dir_prefix}{part}"
+            protocol_path = self._get_protocol_path(part)
+            self.samples = pd.concat(
+                [self.samples, self._read_protocol(subset_dir, protocol_path)]
+            )
+
+    def _get_protocol_path(self, part):
+        paths = (Path(self.path) / self.protocol_folder_name).glob("*.txt")
+        for p in paths:
+            if part in p.stem:
+                return p
+        raise FileNotFoundError(f"no protocol for subset '{part}'")
+
+    def _read_protocol(self, subset_dir, protocol_path):
+        samples = {k: [] for k in
+                   ["user_id", "sample_name", "attack_type", "label", "path"]}
+        real_lines, fake_lines = [], []
+        with open(protocol_path, "r") as f:
+            for line in f:
+                attack_type = line.strip().split(" ")[3]
+                if attack_type == "-":
+                    real_lines.append(line)
+                elif attack_type in self.allowed_attacks:
+                    fake_lines.append(line)
+
+        for line in self.split_samples(fake_lines):
+            self._add_line(samples, line, subset_dir)
+        for line in self.split_samples(real_lines):
+            self._add_line(samples, line, subset_dir)
+        return pd.DataFrame(samples)
+
+    @staticmethod
+    def _add_line(samples, line, subset_dir):
+        user_id, sample_name, _, attack_type, label = line.strip().split(" ")
+        samples["user_id"].append(user_id)
+        samples["sample_name"].append(sample_name)
+        samples["attack_type"].append(attack_type)
+        samples["label"].append(label)
+        sample_path = subset_dir / "flac" / f"{sample_name}.flac"
+        assert sample_path.exists()
+        samples["path"].append(sample_path)

@@ -232,3 +232,95 @@ class TestExtraAttacks:
         logits_fn, _, _ = toy
         with pytest.raises(ValueError):
             attacks.build_attack("UPGD", logits_fn, {"loss": "dlr"})
+
+
+class TestAPGD:
+    def test_apgd_ball_and_success(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "APGD", logits_fn, {"eps": 0.1, "steps": 20}
+        )
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(9))
+        assert np.abs(np.asarray(adv - x)).max() <= 0.1 + 1e-5
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert _acc(logits_fn, adv, y) < 1.0
+
+    def test_apgdt_ball_and_success(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "APGDT", logits_fn, {"eps": 0.1, "steps": 20, "n_classes": 2}
+        )
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(10))
+        assert np.abs(np.asarray(adv - x)).max() <= 0.1 + 1e-5
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert _acc(logits_fn, adv, y) < 1.0
+
+    def test_apgd_l2(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "APGD", logits_fn, {"norm": "L2", "eps": 0.5, "steps": 10}
+        )
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(12))
+        l2 = np.asarray(core.flat_norms(adv - x, "l2"))
+        assert (l2 <= 0.5 + 1e-3).all()
+
+    def test_apgd_rejects_untargeted_dlr(self, toy):
+        logits_fn, _, _ = toy
+        with pytest.raises(ValueError):
+            attacks.build_attack("APGD", logits_fn, {"loss": "dlr"})
+
+
+class TestSquareAndComposite:
+    def test_square_ball_and_improvement(self, toy):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "Square", logits_fn, {"eps": 0.1, "n_queries": 200}
+        )
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(13))
+        assert np.abs(np.asarray(adv - x)).max() <= 0.1 + 1e-5
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+        assert _acc(logits_fn, adv, y) < 1.0  # black-box search succeeds
+
+    def test_multiattack_first_success(self, toy):
+        logits_fn, x, y = toy
+        from adaa_tpu.attacks.composite import multiattack
+        from adaa_tpu.attacks.gradient import fgsm
+
+        weak = fgsm(logits_fn, eps=1e-6)   # fools nothing
+        strong = fgsm(logits_fn, eps=0.3)  # fools most
+        atk = multiattack(logits_fn, [weak, strong])
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(14))
+        acc = _acc(logits_fn, adv, y)
+        strong_only = _acc(
+            logits_fn, jax.jit(strong)(x, y, jax.random.PRNGKey(15)), y
+        )
+        assert acc <= strong_only + 1e-9
+
+
+class TestRemainingStock:
+    @pytest.mark.parametrize("name,params", [
+        ("TIFGSM", {"steps": 3}),
+        ("SparseFool", {"steps": 2, "max_inner": 5}),
+        ("Pixle", {"restarts": 2, "max_iterations": 5}),
+    ])
+    def test_box_and_shape(self, toy, name, params):
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(name, logits_fn, params)
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(16))
+        assert adv.shape == x.shape
+        assert float(adv.min()) >= -1e-6 and float(adv.max()) <= 1 + 1e-6
+        assert bool(jnp.all(jnp.isfinite(adv)))
+
+    def test_pixle_rearranges_only(self, toy):
+        """Pixle moves existing values around — adv values must come
+        from the original sample's value set (approximately)."""
+        logits_fn, x, y = toy
+        atk = attacks.build_attack(
+            "Pixle", logits_fn, {"restarts": 3, "max_iterations": 10}
+        )
+        adv = np.asarray(jax.jit(atk)(x, y, jax.random.PRNGKey(17)))
+        xs = np.asarray(x)
+        for i in range(adv.shape[0]):
+            assert np.isin(
+                np.round(adv[i], 5), np.round(xs[i], 5)
+            ).mean() > 0.99
