@@ -19,6 +19,7 @@ backprop through the frontend).
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, List
 
 import jax
@@ -27,6 +28,28 @@ import jax.numpy as jnp
 from adaa_tpu.ops import filterbanks as fb
 from adaa_tpu.ops import stft as stft_ops
 
+
+@jax.custom_vjp
+def _lfcc_pallas_grad(x: jax.Array) -> jax.Array:
+    from adaa_tpu.ops.pallas_lfcc import lfcc_pallas
+
+    return lfcc_pallas(x)
+
+
+def _lfcc_pallas_fwd(x):
+    return _lfcc_pallas_grad(x), x
+
+
+def _lfcc_pallas_bwd(x, g):
+    # gradients recompute through the XLA path (shares the closed-form
+    # STFT VJP); value identical to the Pallas forward within fp32 noise
+    _, vjp_fn = jax.vjp(lambda xx: _lfcc_xla(xx), x)
+    (dx,) = vjp_fn(g)
+    return (dx,)
+
+
+_lfcc_pallas_grad.defvjp(_lfcc_pallas_fwd, _lfcc_pallas_bwd)
+
 SAMPLING_RATE = 16_000
 WIN_LENGTH = 400  # 25 ms  (src/frontends.py:8)
 HOP_LENGTH = 160  # 10 ms  (src/frontends.py:9)
@@ -34,7 +57,25 @@ N_FFT = 512
 
 
 def lfcc(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
-    """(..., L) -> (..., n_lfcc, T). torchaudio.transforms.LFCC equivalent."""
+    """(..., L) -> (..., n_lfcc, T). torchaudio.transforms.LFCC equivalent.
+
+    With ``ADAA_PALLAS_FRONTEND=1`` (TPU, canonical 64600-sample input,
+    default coefficients) the forward runs the fused Pallas kernel
+    (ops/pallas_lfcc.py); gradients recompute through the XLA path via
+    custom_vjp, so attacks keep working unchanged.
+    """
+    if (
+        n_lfcc == 80
+        and n_filter == 128
+        and x.ndim == 2
+        and x.shape[-1] == 64_600
+        and os.environ.get("ADAA_PALLAS_FRONTEND") == "1"
+    ):
+        return _lfcc_pallas_grad(x)
+    return _lfcc_xla(x, n_lfcc, n_filter)
+
+
+def _lfcc_xla(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
     spec = stft_ops.spectrogram(
         x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH, power=2.0
     )  # (..., F, T)
