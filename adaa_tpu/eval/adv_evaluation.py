@@ -53,6 +53,27 @@ def generate_attacks(
     )
     has_attack = builder is not None and attack_module is not None
 
+    # SPMD data parallelism: with multiple devices, shard the batch on a
+    # 1-D mesh (the TPU-native equivalent of the reference wrapping both
+    # models in nn.DataParallel — evaluate_models_on_adversarial_attacks.py:163-167)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from adaa_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        victim_variables = replicate(victim_variables, mesh)
+        if attack_variables is not None:
+            attack_variables = replicate(attack_variables, mesh)
+        LOGGER.info("Data-parallel over %d devices", n_dev)
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
     @jax.jit
     def victim_predict(batch_x):
         out = victim_module.apply(victim_variables, batch_x, train=False)
@@ -80,8 +101,8 @@ def generate_attacks(
 
     y_pred, y_pred_label, y = [], [], []
     for i, batch in enumerate(loader):
-        batch_x = jnp.asarray(batch[0])
-        batch_y = jnp.asarray(batch[2])
+        batch_x = _shard(jnp.asarray(batch[0]))
+        batch_y = _shard(jnp.asarray(batch[2]))
         batch_meta = batch[3] if len(batch) > 3 else None
 
         if has_attack:

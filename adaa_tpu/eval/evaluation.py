@@ -35,6 +35,24 @@ def evaluate_nn(
         dataset, batch_size, shuffle=True, drop_last=True, num_workers=3
     )
 
+    # batch-axis sharding when multiple devices are visible (SPMD
+    # equivalent of the reference's DataParallel wrapping)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from adaa_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        variables = replicate(variables, mesh)
+        LOGGER.info("Data-parallel over %d devices", n_dev)
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
     @jax.jit
     def predict(batch_x):
         out = module.apply(variables, batch_x, train=False).squeeze(1)
@@ -46,7 +64,7 @@ def evaluate_nn(
         batch_x, batch_y = batch[0], batch[2]
         if i % 10 == 0:
             LOGGER.info("Batch [%d/%d]", i, batches_number)
-        pred = np.asarray(predict(jnp.asarray(batch_x)))
+        pred = np.asarray(predict(_shard(jnp.asarray(batch_x))))
         y_pred.append(pred)
         y_pred_label.append((pred + 0.5).astype(np.int32))
         y.append(batch_y)

@@ -1,0 +1,116 @@
+"""Eval loop tests: clean + adversarial + qualitative, on synthetic data."""
+import numpy as np
+import pytest
+
+import jax
+
+from adaa_tpu import models
+from adaa_tpu.data.synthetic import SyntheticDataset
+from adaa_tpu.eval.adv_evaluation import generate_attacks
+from adaa_tpu.eval.evaluation import evaluate_nn
+from adaa_tpu.eval.qualitative import AttackAnalyser
+
+WAVE_LEN = 8_000
+
+
+@pytest.fixture(scope="module")
+def lcnn():
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=WAVE_LEN
+    )
+    return module, variables
+
+
+def test_evaluate_nn_report(lcnn):
+    module, variables = lcnn
+    ds = SyntheticDataset(n=48, subset="val", wave_length=WAVE_LEN)
+    report = evaluate_nn(module, variables, ds, batch_size=16)
+    for k in ["eer", "accuracy", "precision", "recall", "f1_score", "auc"]:
+        assert k in report
+    assert 0 <= report["accuracy"] <= 100
+
+
+def test_evaluate_nn_too_few_samples_raises(lcnn):
+    module, variables = lcnn
+    ds = SyntheticDataset(n=4, subset="val", wave_length=WAVE_LEN)
+    with pytest.raises(ValueError, match="no full batches"):
+        evaluate_nn(module, variables, ds, batch_size=16)
+
+
+def test_generate_attacks_whitebox(lcnn):
+    module, variables = lcnn
+    ds = SyntheticDataset(n=32, subset="val", wave_length=WAVE_LEN,
+                          return_meta=True)
+    report = generate_attacks(
+        victim_module=module,
+        victim_variables=variables,
+        dataset=ds,
+        attack_name="FGSM_eps001",
+        attack_module=module,
+        attack_variables=variables,
+        batch_size=16,
+    )
+    assert "eer" in report
+
+
+def test_generate_attacks_no_attack(lcnn):
+    module, variables = lcnn
+    ds = SyntheticDataset(n=32, subset="val", wave_length=WAVE_LEN,
+                          return_meta=True)
+    report = generate_attacks(
+        victim_module=module,
+        victim_variables=variables,
+        dataset=ds,
+        attack_name="NO_ATTACK",
+        batch_size=16,
+    )
+    assert 0 <= report["accuracy"] <= 100
+
+
+def test_qualitative_callback(lcnn, tmp_path):
+    module, variables = lcnn
+    ds = SyntheticDataset(n=32, subset="val", wave_length=WAVE_LEN,
+                          return_meta=True)
+    analyser = AttackAnalyser(tmp_path / "qual")
+    generate_attacks(
+        victim_module=module,
+        victim_variables=variables,
+        dataset=ds,
+        attack_name="PGD_eps001",
+        attack_module=module,
+        attack_variables=variables,
+        batch_size=16,
+        on_attack_end_callback=analyser.analyse,
+    )
+    assert (tmp_path / "qual").exists()
+
+
+def test_postanalysis_mcd(tmp_path):
+    """MCD of a wave vs itself is ~0; vs a perturbed copy is > 0."""
+    from scipy.io import wavfile
+
+    from adaa_tpu.eval.postanalysis import AttackPostAnalyser
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    wave = 0.4 * np.sin(2 * np.pi * 220 * t)
+    noisy = wave + 0.05 * rng.standard_normal(sr).astype(np.float32)
+
+    d = tmp_path / "pairs"
+    d.mkdir()
+    wavfile.write(d / "a__orig.wav", sr, (wave * 32767).astype(np.int16))
+    wavfile.write(d / "a__attacked.wav", sr, (noisy * 32767).astype(np.int16))
+    wavfile.write(d / "b__orig.wav", sr, (wave * 32767).astype(np.int16))
+    wavfile.write(d / "b__attacked.wav", sr, (wave * 32767).astype(np.int16))
+
+    analyser = AttackPostAnalyser(d)
+    results = analyser.read_waves_and_calc_metrics()
+    assert len(results) == 2
+    by_name = {r["name"]: r["mcd"] for _, r in results.iterrows()}
+    assert by_name["b"] < 1e-6  # identical pair
+    assert by_name["a"] > by_name["b"]  # noise raises MCD
+    assert (d / "mcd_metrics.csv").exists()
