@@ -140,6 +140,12 @@ class AdversarialGDTrainer(GDTrainer):
             batches_per_epoch=len(train_loader),
             scheduler_t0_epochs=1,  # trainer.py:274 (adv: 1 epoch)
         )
+        from adaa_tpu.training.gd_trainer import make_sharding
+
+        shard, replicate = make_sharding(self.batch_size)
+        state = replicate(state)
+        if attack_variables is not None:
+            attack_variables = replicate(attack_variables)
         eval_step = make_eval_step(module.apply)
         self.init_adv_attacks(attack_module, adversarial_attacks)
 
@@ -151,8 +157,8 @@ class AdversarialGDTrainer(GDTrainer):
             running_loss, num_correct, num_total = 0.0, 0.0, 0
 
             for i, batch in enumerate(train_loader):
-                batch_x = jnp.asarray(batch[0])
-                batch_y = jnp.asarray(batch[2])
+                batch_x = shard(batch[0])
+                batch_y = shard(batch[2])
                 bsz = batch_x.shape[0]
                 key, ak, dk = jax.random.split(key, 3)
 

@@ -41,6 +41,37 @@ def predict_label(logits: jax.Array) -> jax.Array:
     return (jax.nn.sigmoid(logits.squeeze(-1)) + 0.5).astype(jnp.int32)
 
 
+def make_sharding(batch_size: int):
+    """1-D data mesh when it divides the batch; (None, None) otherwise.
+
+    Returns (shard_fn, replicate_fn) applied to host batches / states —
+    the SPMD stand-in for the reference's nn.DataParallel
+    (train_models_on_adversarial_attacks.py:95-104).
+    """
+    n_dev = len(jax.devices())
+    if n_dev <= 1 or batch_size % n_dev != 0:
+        return (lambda x: jnp.asarray(x)), (lambda t: t)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adaa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def shard(x):
+        return jax.device_put(jnp.asarray(x), batch_sharding)
+
+    def replicate(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, repl), tree
+        )
+
+    LOGGER.info("Training data-parallel over %d devices", n_dev)
+    return shard, replicate
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key):
     def loss_fn(params):
@@ -119,6 +150,8 @@ class GDTrainer:
             batches_per_epoch=len(train_loader),
             scheduler_t0_epochs=2,  # trainer.py:118 "every 2nd epoch"
         )
+        shard, replicate = make_sharding(self.batch_size)
+        state = replicate(state)
         eval_step = make_eval_step(module.apply)
 
         best_variables = None
@@ -133,7 +166,7 @@ class GDTrainer:
                 bsz = batch_x.shape[0]
                 key, dk = jax.random.split(key)
                 state, loss, correct = train_step(
-                    state, jnp.asarray(batch_x), jnp.asarray(batch_y), dk
+                    state, shard(batch_x), shard(batch_y), dk
                 )
                 num_total += bsz
                 running_loss += float(loss) * bsz

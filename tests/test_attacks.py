@@ -324,3 +324,44 @@ class TestRemainingStock:
             assert np.isin(
                 np.round(adv[i], 5), np.round(xs[i], 5)
             ).mean() > 0.99
+
+
+class TestDifferentialEvolution:
+    def test_minimizes_quadratic(self):
+        from adaa_tpu.attacks.differential_evolution import (
+            differential_evolution,
+        )
+
+        target = jnp.asarray([0.3, -0.7, 0.1])
+
+        def func(pop):  # batched objective
+            return ((pop - target) ** 2).sum(axis=1)
+
+        res = differential_evolution(
+            func,
+            (jnp.full((3,), -2.0), jnp.full((3,), 2.0)),
+            jax.random.PRNGKey(0),
+            maxiter=150,
+            popsize=20,
+        )
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(target),
+                                   atol=0.05)
+        assert float(res.fun) < 1e-2
+
+    def test_early_stop(self):
+        from adaa_tpu.attacks.differential_evolution import (
+            differential_evolution,
+        )
+
+        calls = []
+
+        def func(pop):
+            calls.append(1)
+            return (pop ** 2).sum(axis=1)
+
+        res = differential_evolution(
+            func, (jnp.full((2,), -1.0), jnp.full((2,), 1.0)),
+            jax.random.PRNGKey(1), maxiter=50,
+            stop_fn=lambda best: best < 0.5,
+        )
+        assert float(res.fun) <= 1.0
