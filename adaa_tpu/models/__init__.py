@@ -28,10 +28,19 @@ def get_model(model_name: str, config: Dict[str, Any]) -> nn.Module:
     if model_name == "rawnet3":
         return prepare_model()
     elif model_name == "lcnn":
+        import os
+
+        import jax.numpy as jnp
+
+        compute_dtype = None
+        if (config.get("compute_dtype") == "bfloat16"
+                or os.environ.get("ADAA_BF16") == "1"):
+            compute_dtype = jnp.bfloat16
         return LCNN(
             input_channels=config.get("input_channels", 1),
             num_coefficients=config.get("num_coefficients", 80),
             frontend_algorithm=tuple(config.get("frontend_algorithm", [])),
+            compute_dtype=compute_dtype,
         )
     elif model_name == "specrnet":
         return SpecRNet(

@@ -103,13 +103,15 @@ def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
 # BatchNorm (torch semantics)
 # ---------------------------------------------------------------------------
 
-def torch_batch_norm(affine: bool = True, name: str = None) -> nn.BatchNorm:
+def torch_batch_norm(affine: bool = True, name: str = None,
+                     dtype=None) -> nn.BatchNorm:
     """BatchNorm over the last axis with torch defaults (eps 1e-5,
     running-average momentum 0.1 -> flax momentum 0.9).
 
     ``affine=False`` variants (LCNN uses BatchNorm2d(affine=False),
     reference src/models/lcnn.py:127-151) carry only running stats.
-    Call with ``use_running_average=not train``.
+    Call with ``use_running_average=not train``. ``dtype`` selects the
+    computation dtype (params/stats stay float32).
     """
     return nn.BatchNorm(
         use_running_average=None,
@@ -117,6 +119,7 @@ def torch_batch_norm(affine: bool = True, name: str = None) -> nn.BatchNorm:
         epsilon=1e-5,
         use_bias=affine,
         use_scale=affine,
+        dtype=dtype,
         name=name,
     )
 

@@ -20,7 +20,7 @@ features (B, C, n_coeff, T) are also accepted, mirroring BaseLCNN.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,8 @@ class LCNN(nn.Module):
     input_channels: int = 1
     num_coefficients: int = 80
     frontend_algorithm: Sequence[str] = ()
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for speed;
+    # params and the frontend stay float32 (EER-parity critical)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -55,15 +57,21 @@ class LCNN(nn.Module):
         # torch permutes to (B, C, T, n_coeff) then runs NCHW convs
         # (src/models/lcnn.py:190); we go channels-last: (B, T, coeff, C).
         h = jnp.transpose(feat, (0, 3, 2, 1))
+        dtype = self.compute_dtype
+        if dtype is not None:
+            h = h.astype(dtype)
 
         conv = lambda f, k, name: nn.Conv(
             features=f,
             kernel_size=(k, k),
             padding=[(k // 2, k // 2)] * 2,
             kernel_init=layers.kaiming_uniform_conv,
+            dtype=dtype,
             name=name,
         )
-        bn = lambda name: layers.torch_batch_norm(affine=False, name=name)
+        bn = lambda name: layers.torch_batch_norm(
+            affine=False, name=name, dtype=dtype
+        )
         mfm = layers.max_feature_map
         pool = layers.max_pool_2d
 
@@ -94,6 +102,8 @@ class LCNN(nn.Module):
         h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, -1)
 
         dim = (self.num_coefficients // 16) * 32
+        if dtype is not None:
+            h = h.astype(jnp.float32)  # LSTM recurrence stays f32
         lstm_out = layers.BiLSTM(dim // 2, name="blstm0")(h)
         lstm_out = layers.BiLSTM(dim // 2, name="blstm1")(lstm_out)
 
@@ -104,4 +114,4 @@ class LCNN(nn.Module):
             bias_init=layers.conv_bias_init(dim),
             name="output",
         )(pooled)
-        return logit
+        return logit.astype(jnp.float32)
