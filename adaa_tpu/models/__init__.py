@@ -26,6 +26,13 @@ WAVE_LENGTH = 64_600  # canonical input length (reference base_dataset.py:27)
 def get_model(model_name: str, config: Dict[str, Any]) -> nn.Module:
     """Build a detector module (reference src/models/models.py:6-18)."""
     if model_name == "rawnet3":
+        import os
+
+        import jax.numpy as jnp
+
+        if (config.get("compute_dtype") == "bfloat16"
+                or os.environ.get("ADAA_BF16") == "1"):
+            return RawNet3(compute_dtype=jnp.bfloat16)
         return prepare_model()
     elif model_name == "lcnn":
         import os
@@ -43,9 +50,18 @@ def get_model(model_name: str, config: Dict[str, Any]) -> nn.Module:
             compute_dtype=compute_dtype,
         )
     elif model_name == "specrnet":
+        import os
+
+        import jax.numpy as jnp
+
+        compute_dtype = None
+        if (config.get("compute_dtype") == "bfloat16"
+                or os.environ.get("ADAA_BF16") == "1"):
+            compute_dtype = jnp.bfloat16
         return SpecRNet(
             input_channels=config.get("input_channels", 1),
             frontend_algorithm=tuple(config.get("frontend_algorithm", [])),
+            compute_dtype=compute_dtype,
         )
     raise ValueError(f"Model '{model_name}' not supported")
 

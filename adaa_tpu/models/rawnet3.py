@@ -22,6 +22,7 @@ Layout: channels-last (B, T, C) 1D convs.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -143,14 +144,16 @@ class Bottle2neck(nn.Module):
     dilation: int = 1
     scale: int = 8
     pool: int = 0
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         width = self.planes // self.scale
         nums = self.scale - 1
-        bn = lambda name: layers.torch_batch_norm(name=name)
+        bn = lambda name: layers.torch_batch_norm(
+            name=name, dtype=self.compute_dtype)
         conv1x1 = lambda f, name, bias=True: nn.Conv(
-            f, (1,), use_bias=bias,
+            f, (1,), use_bias=bias, dtype=self.compute_dtype,
             kernel_init=layers.kaiming_uniform_conv, name=name,
         )
 
@@ -174,6 +177,7 @@ class Bottle2neck(nn.Module):
                 kernel_dilation=(self.dilation,),
                 padding=[(num_pad, num_pad)],
                 kernel_init=layers.kaiming_uniform_conv,
+                dtype=self.compute_dtype,
                 name=f"convs_{i}",
             )(sp)
             sp = nn.relu(sp)
@@ -207,6 +211,8 @@ class RawNet3(nn.Module):
     context: bool = True
     summed: bool = True
     out_bn: bool = False
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 res2net trunk;
+    # sinc frontend / stats pooling / head stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -235,13 +241,15 @@ class RawNet3(nn.Module):
         if self.norm_sinc == "mean":
             h = h - h.mean(axis=1, keepdims=True)
 
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
         x1 = Bottle2neck(
             self.C // 4, self.C, kernel_size=3, dilation=2, scale=8, pool=5,
-            name="layer1",
+            compute_dtype=self.compute_dtype, name="layer1",
         )(h, train)
         x2 = Bottle2neck(
             self.C, self.C, kernel_size=3, dilation=3, scale=8, pool=3,
-            name="layer2",
+            compute_dtype=self.compute_dtype, name="layer2",
         )(x1, train)
         mp3_x1 = layers.max_pool_1d(x1, 3)
         if self.summed:
@@ -250,14 +258,15 @@ class RawNet3(nn.Module):
             x3_in = x2
         x3 = Bottle2neck(
             self.C, self.C, kernel_size=3, dilation=4, scale=8,
-            name="layer3",
+            compute_dtype=self.compute_dtype, name="layer3",
         )(x3_in, train)
 
         h = jnp.concatenate([mp3_x1, x2, x3], axis=-1)
         h = nn.Conv(
-            1536, (1,), kernel_init=layers.kaiming_uniform_conv, name="layer4"
+            1536, (1,), kernel_init=layers.kaiming_uniform_conv,
+            dtype=self.compute_dtype, name="layer4"
         )(h)
-        h = nn.relu(h)  # (B, T, 1536)
+        h = nn.relu(h).astype(jnp.float32)  # stats pooling in f32
 
         t = h.shape[1]
         if self.context:

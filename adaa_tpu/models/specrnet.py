@@ -19,7 +19,7 @@ Config mirrors ``get_config`` (src/models/specrnet.py:23-30).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ class ResidualBlock2D(nn.Module):
     in_channels: int
     out_channels: int
     first: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -43,19 +44,21 @@ class ResidualBlock2D(nn.Module):
             kernel_size=(k, k),
             padding=[(k // 2, k // 2)] * 2,
             kernel_init=layers.kaiming_uniform_conv,
+            dtype=self.compute_dtype,
             name=name,
         )
         identity = x
         if not self.first:
             # reference quirk: bn1+lrelu result is discarded (conv1 sees x),
             # but bn1 stats still update in train mode — reproduce both.
-            dead = layers.torch_batch_norm(name="bn1")(
-                x, use_running_average=not train
-            )
+            dead = layers.torch_batch_norm(
+                name="bn1", dtype=self.compute_dtype
+            )(x, use_running_average=not train)
             del dead
 
         out = conv(self.out_channels, 3, "conv1")(x)
-        out = layers.torch_batch_norm(name="bn2")(out, use_running_average=not train)
+        out = layers.torch_batch_norm(name="bn2", dtype=self.compute_dtype)(
+            out, use_running_average=not train)
         out = nn.leaky_relu(out, negative_slope=0.3)
         out = conv(self.out_channels, 3, "conv2")(out)
 
@@ -76,6 +79,7 @@ class SpecRNet(nn.Module):
     nb_gru_layer: int = 2
     nb_fc_node: int = 64
     nb_classes: int = 1
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 trunk; GRU/frontend f32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -89,8 +93,11 @@ class SpecRNet(nn.Module):
         # NCHW (B, C, coeff, T) -> NHWC (B, coeff, T, C); no H/W swap
         # (the reference does not permute — src/models/specrnet.py:141).
         h = jnp.transpose(feat, (0, 2, 3, 1))
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
 
-        h = layers.torch_batch_norm(name="first_bn")(h, use_running_average=not train)
+        h = layers.torch_batch_norm(name="first_bn", dtype=self.compute_dtype)(
+            h, use_running_average=not train)
         h = nn.selu(h)
 
         def attention_gate(x_blk: jax.Array, width: int, name: str) -> jax.Array:
@@ -107,23 +114,28 @@ class SpecRNet(nn.Module):
         f1_in, f1_out = self.filts[1]
         f2_in, f2_out = self.filts[2]
 
-        h = ResidualBlock2D(f1_in, f1_out, first=True, name="block0")(h, train)
+        h = ResidualBlock2D(f1_in, f1_out, first=True, name="block0",
+                            compute_dtype=self.compute_dtype)(h, train)
         h = attention_gate(h, f1_out, "fc_attention0")
         h = layers.max_pool_2d(h)
 
-        h = ResidualBlock2D(f2_in, f2_out, name="block2")(h, train)
+        h = ResidualBlock2D(f2_in, f2_out, name="block2",
+                            compute_dtype=self.compute_dtype)(h, train)
         h = attention_gate(h, f2_out, "fc_attention2")
         h = layers.max_pool_2d(h)
 
-        h = ResidualBlock2D(f2_out, f2_out, name="block4")(h, train)
+        h = ResidualBlock2D(f2_out, f2_out, name="block4",
+                            compute_dtype=self.compute_dtype)(h, train)
         h = attention_gate(h, f2_out, "fc_attention4")
         h = layers.max_pool_2d(h)
 
-        h = layers.torch_batch_norm(name="bn_before_gru")(
+        h = layers.torch_batch_norm(name="bn_before_gru",
+                                    dtype=self.compute_dtype)(
             h, use_running_average=not train
         )
         h = nn.selu(h)
         h = h.squeeze(axis=1)  # (B, T', C) — coeff axis pooled to 1
+        h = h.astype(jnp.float32)  # GRU recurrence stays f32
 
         h = layers.BiGRU(self.gru_node, num_layers=self.nb_gru_layer, name="gru")(h)
         h = h[:, -1, :]
@@ -139,7 +151,7 @@ class SpecRNet(nn.Module):
             bias_init=layers.conv_bias_init(self.nb_fc_node * 2),
             name="fc2_gru",
         )(h)
-        return h
+        return h.astype(jnp.float32)
 
 
 def get_config(input_channels: int) -> dict:

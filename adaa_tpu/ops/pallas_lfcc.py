@@ -52,15 +52,19 @@ HALF = 384  # lane-aligned half-width for the (real | imag) split
 KW = 2 * HALF  # 768
 
 
-@functools.lru_cache(maxsize=2)
-def _constants():
+@functools.lru_cache(maxsize=4)
+def _constants(filterbank: str = "linear"):
     kern = stft_ops._dft_kernel(N_FFT, WIN, "hann")[:, 0, :]  # (514, 512)
     # real part in lane-aligned cols [0, 384), imag in [384, 768) so the
     # power split needs no lane rotation
     kern_pad = np.zeros((CHUNK, KW), np.float32)  # (640, 768)
     kern_pad[:N_FFT, :N_BINS] = kern[:N_BINS].T
     kern_pad[:N_FFT, HALF : HALF + N_BINS] = kern[N_BINS:].T
-    filt = fb_lib.linear_fbanks(N_BINS, 0.0, SR / 2, N_FILTER, SR)  # (257,128)
+    if filterbank == "linear":  # LFCC (torchaudio linear_fbanks)
+        filt = fb_lib.linear_fbanks(N_BINS, 0.0, SR / 2, N_FILTER, SR)
+    else:  # MFCC (HTK mel, norm=None)
+        filt = fb_lib.melscale_fbanks(N_BINS, 0.0, SR / 2, N_FILTER, SR,
+                                      norm=None, mel_scale="htk")
     filt_pad = np.zeros((HALF, N_FILTER), np.float32)
     filt_pad[:N_BINS] = filt
     dct = fb_lib.create_dct(N_LFCC, N_FILTER, "ortho")  # (128, 80)
@@ -96,10 +100,11 @@ def _kernel(rows4_ref, kern_ref, filt_ref, dct_ref, out_ref, *, r):
     out_ref[:, :, :] = cep[:, :N_LFCC].reshape(r, FRAMES_PAD, N_LFCC)
 
 
-def _lfcc_tiles(rows4: jax.Array, interpret: bool = False) -> jax.Array:
+def _lfcc_tiles(rows4: jax.Array, interpret: bool = False,
+                filterbank: str = "linear") -> jax.Array:
     """(B, 4, 408, 160) shifted hop rows -> (B, 408, 80) cepstra."""
     b = rows4.shape[0]
-    kern_pad, filt, dct_pad = _constants()
+    kern_pad, filt, dct_pad = _constants(filterbank)
 
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -134,8 +139,12 @@ def _lfcc_tiles(rows4: jax.Array, interpret: bool = False) -> jax.Array:
     )
 
 
-def lfcc_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """(B, 64600) wave -> (B, 80, 404) LFCC, fused Pallas forward."""
+def lfcc_pallas(x: jax.Array, interpret: bool = False,
+                filterbank: str = "linear") -> jax.Array:
+    """(B, 64600) wave -> (B, 80, 404) cepstra, fused Pallas forward.
+
+    ``filterbank='linear'`` computes LFCC; ``'mel'`` computes MFCC (the
+    pipelines differ only in the filterbank matrix)."""
     assert x.shape[-1] == 64_600, "kernel specialized to the canonical length"
     b = x.shape[0]
     pad = N_FFT // 2
@@ -149,5 +158,10 @@ def lfcc_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     rows4 = jnp.stack(
         [rows[:, j : j + FRAMES_PAD, :] for j in range(4)], axis=1
     )  # (B, 4, 408, 160)
-    cep = _lfcc_tiles(rows4, interpret=interpret)  # (B, 408, 80)
+    cep = _lfcc_tiles(rows4, interpret=interpret, filterbank=filterbank)
     return jnp.swapaxes(cep[:, :FRAMES_TOTAL, :], 1, 2)  # (B, 80, 404)
+
+
+def mfcc_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """(B, 64600) wave -> (B, 80, 404) MFCC, fused Pallas forward."""
+    return lfcc_pallas(x, interpret=interpret, filterbank="mel")

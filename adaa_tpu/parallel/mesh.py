@@ -71,3 +71,33 @@ def data_parallel_attack_fn(
         return jitted(variables, x, y, key)
 
     return wrapped
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: after this, ``jax.devices()`` spans all
+    hosts and the same mesh/sharding code paths scale across DCN —
+    collectives ride ICI within a slice and DCN across slices, with
+    no NCCL-style plumbing (the reference has no multi-host story at
+    all; its ceiling is single-process DataParallel).
+
+    No-ops (returns 1) when no coordinator is configured — single-host
+    runs and tests take this path.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "ADAA_COORDINATOR"
+    )
+    if not coordinator_address:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes or int(os.environ["ADAA_NUM_PROCESSES"]),
+        process_id=process_id if process_id is not None
+        else int(os.environ["ADAA_PROCESS_ID"]),
+    )
+    return jax.process_count()
