@@ -17,8 +17,6 @@ VMIFGSM, VNIFGSM, DIFGSM, UPGD, Jitter, DeepFool.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -546,11 +544,9 @@ def sparsefool(logits_fn, steps: int = 10, lam: float = 3.0,
 
             # gradient of (f_other - f_label) at the overshot point
             z2, g2 = z_and_grad(adv_l)
-            pred2 = (z2 > 0).astype(jnp.int32)
-            tgt_sign = jnp.where(
-                pred2 == y, 1.0 - 2.0 * y.astype(x.dtype),
-                1.0 - 2.0 * y.astype(x.dtype),
-            )  # both cases: toward the other class of the true label
+            # cost = f_pre_or_target - f_label; in the 2-class case both
+            # reduce to the other class of the true label
+            tgt_sign = 1.0 - 2.0 * y.astype(x.dtype)
             grad = 2.0 * g2 * tgt_sign[:, None]
             gn = jnp.sqrt(jnp.sum(grad.reshape(b, -1) ** 2, axis=1)) + 1e-12
             grad = grad / gn[:, None]

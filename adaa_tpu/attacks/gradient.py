@@ -9,8 +9,6 @@ live in [0, 1] minmax space (see attacks.core); the per-step structure
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -75,7 +75,7 @@ class DetectionDataset(SimpleAudioFakeDataset):
         return datasets
 
     def oversample_dataset(self):
-        samples = self.samples.groupby(by=["label"])
+        samples = self.samples.groupby(by="label")
         bona_length = len(samples.groups["bonafide"])
         spoof_length = len(samples.groups["spoof"])
         diff_length = spoof_length - bona_length
@@ -88,7 +88,7 @@ class DetectionDataset(SimpleAudioFakeDataset):
             self.samples = pd.concat([self.samples, bonafide], ignore_index=True)
 
     def undersample_dataset(self):
-        samples = self.samples.groupby(by=["label"])
+        samples = self.samples.groupby(by="label")
         bona_length = len(samples.groups["bonafide"])
         spoof_length = len(samples.groups["spoof"])
         if spoof_length < bona_length:
@@ -100,9 +100,9 @@ class DetectionDataset(SimpleAudioFakeDataset):
             )
 
     def get_bonafide_only(self):
-        self.samples = self.samples.groupby(by=["label"]).get_group("bonafide")
+        self.samples = self.samples.groupby(by="label").get_group("bonafide")
         return self.samples
 
     def get_spoof_only(self):
-        self.samples = self.samples.groupby(by=["label"]).get_group("spoof")
+        self.samples = self.samples.groupby(by="label").get_group("spoof")
         return self.samples

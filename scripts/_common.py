@@ -54,6 +54,13 @@ def build_dataset(
     return_meta: bool = False,
     return_raw: bool = False,
 ):
+    # argparse can't pass None; empty string or "none" means "skip this
+    # dataset" (the reference's None semantics, evaluate_models.py:162)
+    datasets_paths = [
+        None if (isinstance(p, str) and p.strip().lower() in ("", "none"))
+        else p
+        for p in datasets_paths
+    ]
     asv = datasets_paths[0]
     if isinstance(asv, str) and asv.startswith("synthetic"):
         from adaa_tpu.data.synthetic import SyntheticDataset

@@ -47,7 +47,6 @@ def main(args):
     data_test = build_dataset(paths, "test", args.test_amount, oversample=True)
 
     module = models.get_model(model_name, model_config.get("parameters", {}))
-    import jax as _jax
 
     variables = models.init_model(module, key)
 

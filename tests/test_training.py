@@ -139,3 +139,47 @@ def test_adversarial_trainer_self_attack_runs():
         key=key,
     )
     assert "params" in best and "batch_stats" in best
+
+
+def test_random_strategy_sampling_distribution():
+    """RANDOM attacks with prob n/(n+1), uniform choice (trainer.py:464-473)."""
+    import random as pyrandom
+
+    t = AdversarialGDTrainer(epochs=1, batch_size=4)
+    calls = {"count": 0, "indices": []}
+
+    def fake_adv(variables, x, y, key):
+        calls["count"] += 1
+        return x
+
+    t.attacks = [("A", fake_adv), ("B", fake_adv), ("C", fake_adv)]
+    pyrandom.seed(123)
+    n_trials = 4000
+    for _ in range(n_trials):
+        t.apply_adv_attack(None, jnp.zeros((2, 4)), jnp.zeros(2, jnp.int32),
+                           None)
+    # expected attack probability: n/(n+1) = 3/4
+    frac = calls["count"] / n_trials
+    assert abs(frac - 0.75) < 0.03
+
+
+def test_equal_strategy_attacks_half_batch():
+    """EQUAL: attacks[0] on exactly half the batch (trainer.py:479-497)."""
+    import random as pyrandom
+
+    t = EqualAdversarialGDTrainer(epochs=1, batch_size=8)
+    attacked_sizes = []
+
+    def fake_adv(variables, x, y, key):
+        attacked_sizes.append(x.shape[0])
+        return x + 1.0
+
+    t.attacks = [("A", fake_adv)]
+    pyrandom.seed(7)
+    x = jnp.zeros((8, 16))
+    out = t.apply_adv_attack(None, x, jnp.zeros(8, jnp.int32),
+                             jax.random.PRNGKey(0))
+    assert attacked_sizes == [4]
+    # exactly half the rows changed
+    changed = int((np.asarray(out) != 0).any(axis=1).sum())
+    assert changed == 4
