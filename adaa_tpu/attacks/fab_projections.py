@@ -35,19 +35,21 @@ def projection_linf(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     d = (a - t) * (w != 0).astype(t.dtype)
 
     p = a - t * (2.0 * a - 1.0)
-    indp = jnp.argsort(p, axis=1)
 
     b = b - (w * t).sum(1)
     b0 = (w * d).sum(1)
 
-    indp2 = jnp.flip(indp, axis=1)
-    ws = _take(w, indp2)
-    bs2 = -ws * _take(d, indp2)
+    # ONE co-sort carries w and d along with the p keys — on TPU, sorts
+    # are expensive and random gathers worse; everything downstream is
+    # positional in sorted order, so no take_along_axis on (B, D) arrays
+    ps_asc, ws_asc, ds_asc = jax.lax.sort((p, w, d), num_keys=1)
+    ws = jnp.flip(ws_asc, axis=1)  # descending-p order
+    bs2 = -ws * jnp.flip(ds_asc, axis=1)
 
     s = jnp.cumsum(jnp.abs(ws), axis=1)
     sb = jnp.cumsum(bs2, axis=1) + b0[:, None]
 
-    b2 = sb[:, -1] - s[:, -1] * _take(p, indp[:, 0:1])[:, 0]
+    b2 = sb[:, -1] - s[:, -1] * ps_asc[:, 0]
     c_l = (b - b2) > 0
     c2 = jnp.logical_and((b - b0) > 0, jnp.logical_not(c_l))
 
@@ -57,8 +59,9 @@ def projection_linf(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     for _ in range(nitermax):
         counter4 = jnp.floor((lb + ub) / 2)
         counter2 = counter4.astype(jnp.int32)[:, None]
-        indcurr = _take(indp, dim - 1 - counter2)
-        b2i = (_take(sb, counter2) - _take(s, counter2) * _take(p, indcurr))[:, 0]
+        # p[indp[D-1-counter]] == the (D-1-counter)-th smallest == ps_asc col
+        p_piv = _take(ps_asc, dim - 1 - counter2)
+        b2i = (_take(sb, counter2) - _take(s, counter2) * p_piv)[:, 0]
         c = (b - b2i) > 0
         lb = jnp.where(c, counter4, lb)
         ub = jnp.where(c, ub, counter4)
@@ -90,13 +93,11 @@ def projection_l2(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     r_raw = jnp.clip(jnp.maximum(t / w_safe, (t - 1.0) / w_safe), -1e12, 1e12)
     r = jnp.where(nonzero, r_raw, 1e12)
     r = jnp.where(r == -1e12, 1e12, r)
-    indr = jnp.argsort(r, axis=1)
-    rs = _take(r, indr)
+    # co-sort w^2 with the r keys (see projection_linf for why)
+    rs, w3s = jax.lax.sort((r, w * w), num_keys=1)
     rs2 = jnp.concatenate([rs[:, 1:], jnp.zeros_like(rs[:, :1])], axis=1)
     rs = jnp.where(rs == 1e12, 0.0, rs)
     rs2 = jnp.where(rs2 == 1e12, 0.0, rs2)
-
-    w3s = _take(w * w, indr)
     w5 = w3s.sum(axis=1, keepdims=True)
     ws = w5 - jnp.cumsum(w3s, axis=1)
     d = -(r * w) * nonzero.astype(t.dtype)
