@@ -48,6 +48,7 @@ def get_model(model_name: str, config: Dict[str, Any]) -> nn.Module:
             num_coefficients=config.get("num_coefficients", 80),
             frontend_algorithm=tuple(config.get("frontend_algorithm", [])),
             compute_dtype=compute_dtype,
+            precision=config.get("precision"),
         )
     elif model_name == "specrnet":
         import os

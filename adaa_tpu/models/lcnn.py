@@ -44,6 +44,9 @@ class LCNN(nn.Module):
     frontend_algorithm: Sequence[str] = ()
     compute_dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for speed;
     # params and the frontend stay float32 (EER-parity critical)
+    precision: Optional[str] = None  # "highest" -> f32-exact convs for
+    # EER-parity evaluation (TPU default conv precision deviates ~1%
+    # relative from CPU f32 logits)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -61,12 +64,15 @@ class LCNN(nn.Module):
         if dtype is not None:
             h = h.astype(dtype)
 
+        prec = (jax.lax.Precision.HIGHEST
+                if self.precision == "highest" else None)
         conv = lambda f, k, name: nn.Conv(
             features=f,
             kernel_size=(k, k),
             padding=[(k // 2, k // 2)] * 2,
             kernel_init=layers.kaiming_uniform_conv,
             dtype=dtype,
+            precision=prec,
             name=name,
         )
         bn = lambda name: layers.torch_batch_norm(
