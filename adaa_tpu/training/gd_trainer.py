@@ -114,12 +114,18 @@ class GDTrainer:
         device: str = "",  # kept for CLI parity; JAX manages devices
         optimizer_kwargs: Dict[str, Any] = None,
         use_scheduler: bool = False,
+        compute_eer: bool = False,
     ):
         self.epochs = epochs
         self.batch_size = batch_size
         self.device = device
         self.optimizer_kwargs = optimizer_kwargs or {"lr": 1e-3}
         self.use_scheduler = use_scheduler
+        # the reference logs a hardcoded test/eer of 0 ("TODO: revert EER
+        # support", trainer.py:171,417); compute_eer=True finishes that
+        # TODO (real per-epoch EER on flipped labels), default keeps the
+        # reference's log surface
+        self.compute_eer = compute_eer
         self.epoch_test_losses: List[float] = []
 
     def train(
@@ -186,10 +192,12 @@ class GDTrainer:
                 epoch + 1, self.epochs, running_loss, train_acc,
             )
 
-            test_loss, test_acc = self._test_epoch(eval_step, state, test_loader)
+            test_loss, test_acc, eer_val = self._test_epoch(
+                eval_step, state, test_loader, self.compute_eer
+            )
             LOGGER.info(
                 "Epoch [%d/%d]: test/loss: %s, test/accuracy: %s, test/eer: %s",
-                epoch + 1, self.epochs, test_loss, test_acc, 0,
+                epoch + 1, self.epochs, test_loss, test_acc, eer_val,
             )
 
             if best_variables is None or test_acc > best_acc:
@@ -201,17 +209,32 @@ class GDTrainer:
         return jax.tree_util.tree_map(jnp.asarray, best_variables)
 
     @staticmethod
-    def _test_epoch(eval_step, state, test_loader):
+    def _test_epoch(eval_step, state, test_loader, compute_eer=False):
         test_loss, num_correct, num_total = 0.0, 0.0, 0
+        scores, labels = [], []
         variables = state.variables()
         for batch in test_loader:
             batch_x, batch_y = batch[0], batch[2]
             bsz = batch_x.shape[0]
-            loss, correct, _ = eval_step(
+            loss, correct, out = eval_step(
                 variables, jnp.asarray(batch_x), jnp.asarray(batch_y)
             )
             num_total += bsz
             test_loss += float(loss) * bsz
             num_correct += int(correct)
+            if compute_eer:
+                scores.append(np.asarray(jax.nn.sigmoid(out.squeeze(-1))))
+                labels.append(np.asarray(batch_y))
         num_total = max(num_total, 1)
-        return test_loss / num_total, 100.0 * num_correct / num_total
+        eer_val = 0  # reference placeholder (trainer.py:171)
+        if compute_eer and scores:
+            from adaa_tpu.metrics import calculate_eer
+
+            y = np.concatenate(labels)
+            try:
+                _, eer_val, _, _ = calculate_eer(
+                    1 - y, np.concatenate(scores)
+                )
+            except (ValueError, ZeroDivisionError):
+                eer_val = float("nan")
+        return test_loss / num_total, 100.0 * num_correct / num_total, eer_val

@@ -183,3 +183,28 @@ def test_equal_strategy_attacks_half_batch():
     # exactly half the rows changed
     changed = int((np.asarray(out) != 0).any(axis=1).sum())
     assert changed == 4
+
+
+@pytest.mark.slow
+def test_optional_in_training_eer():
+    """compute_eer=True finishes the reference's 'TODO: revert EER
+    support' (trainer.py:171) — real per-epoch EER on flipped labels."""
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=WAVE_LEN
+    )
+    train_ds = SyntheticDataset(n=32, subset="train", wave_length=WAVE_LEN)
+    test_ds = SyntheticDataset(n=16, subset="test", wave_length=WAVE_LEN)
+    from adaa_tpu.training.gd_trainer import make_eval_step, make_sharding
+    from adaa_tpu.training import train_state as ts
+    from adaa_tpu.data.loader import DataLoader
+
+    trainer = GDTrainer(epochs=1, batch_size=8, compute_eer=True)
+    state = ts.create_train_state(module, variables, {"lr": 1e-4})
+    loader = DataLoader(test_ds, 8, shuffle=False, num_workers=1)
+    loss, acc, eer = trainer._test_epoch(
+        make_eval_step(module.apply), state, loader, compute_eer=True
+    )
+    assert 0.0 <= eer <= 1.0
