@@ -1,9 +1,10 @@
 """DetectionDataset — union of ASVspoof2021-DF + WaveFake + FakeAVCeleb.
 
-Equivalent of the reference (reference:
-src/datasets/detection_dataset.py:15-119): pd.concat of per-source
-manifests, bonafide oversampling with replacement to the spoof count,
-optional undersampling, and the seed-42 ``reduced_number`` subsample.
+Semantics follow the reference's union dataset (reference:
+src/datasets/detection_dataset.py:15-119): concatenate the per-source
+manifests, rebalance classes (bonafide oversampled with replacement up
+to the spoof count, or spoof undersampled down to bonafide), and
+optionally subsample to ``reduced_number`` rows with the fixed seed 42.
 """
 from __future__ import annotations
 
@@ -20,6 +21,46 @@ from adaa_tpu.data.datasets import (
 )
 
 LOGGER = logging.getLogger(__name__)
+
+# source name -> manifest class; order matters (concat order matches the
+# reference's asvspoof, wavefake, fakeavceleb sequence)
+_SOURCES = (
+    ("asvspoof", DeepFakeASVSpoofDataset),
+    ("wavefake", WaveFakeDataset),
+    ("fakeavceleb", FakeAVCelebDataset),
+)
+
+
+def _label_counts(samples: pd.DataFrame):
+    grouped = samples.groupby(by="label")
+    return grouped, len(grouped.groups["bonafide"]), len(grouped.groups["spoof"])
+
+
+def balance_by_oversampling(samples: pd.DataFrame) -> pd.DataFrame:
+    """Draw bonafide rows with replacement until classes match
+    (detection_dataset.py:85-97). Raises when bonafide already dominates
+    — the real corpora are spoof-heavy and the reference assumes it."""
+    grouped, n_bona, n_spoof = _label_counts(samples)
+    extra = n_spoof - n_bona
+    if extra < 0:
+        raise NotImplementedError
+    if extra == 0:
+        return samples
+    resampled = grouped.get_group("bonafide").sample(extra, replace=True)
+    return pd.concat([samples, resampled], ignore_index=True)
+
+
+def balance_by_undersampling(samples: pd.DataFrame) -> pd.DataFrame:
+    """Shrink the spoof side to the bonafide count
+    (detection_dataset.py:99-109)."""
+    grouped, n_bona, n_spoof = _label_counts(samples)
+    if n_spoof < n_bona:
+        raise NotImplementedError
+    if n_spoof == n_bona:
+        return samples
+    spoofs = grouped.get_group("spoof").sample(n_bona, replace=True)
+    return pd.concat([grouped.get_group("bonafide"), spoofs],
+                     ignore_index=True)
 
 
 class DetectionDataset(SimpleAudioFakeDataset):
@@ -44,17 +85,22 @@ class DetectionDataset(SimpleAudioFakeDataset):
             return_meta=return_meta,
             return_raw=return_raw,
         )
-        datasets = self._init_datasets(
-            asvspoof_path, wavefake_path, fakeavceleb_path, subset
-        )
-        self.samples = pd.concat(
-            [ds.samples for ds in datasets], ignore_index=True
-        )
+        roots = {
+            "asvspoof": asvspoof_path,
+            "wavefake": wavefake_path,
+            "fakeavceleb": fakeavceleb_path,
+        }
+        manifests = [
+            cls(roots[name], subset=subset).samples
+            for name, cls in _SOURCES
+            if roots[name] is not None
+        ]
+        self.samples = pd.concat(manifests, ignore_index=True)
 
         if oversample:
-            self.oversample_dataset()
+            self.samples = balance_by_oversampling(self.samples)
         elif undersample:
-            self.undersample_dataset()
+            self.samples = balance_by_undersampling(self.samples)
 
         if reduced_number:
             LOGGER.info("Using reduced number of samples - %s!", reduced_number)
@@ -62,42 +108,12 @@ class DetectionDataset(SimpleAudioFakeDataset):
                 min(len(self.samples), reduced_number), random_state=42
             )
 
-    def _init_datasets(
-        self, asvspoof_path, wavefake_path, fakeavceleb_path, subset
-    ) -> List[SimpleAudioFakeDataset]:
-        datasets = []
-        if asvspoof_path is not None:
-            datasets.append(DeepFakeASVSpoofDataset(asvspoof_path, subset=subset))
-        if wavefake_path is not None:
-            datasets.append(WaveFakeDataset(wavefake_path, subset=subset))
-        if fakeavceleb_path is not None:
-            datasets.append(FakeAVCelebDataset(fakeavceleb_path, subset=subset))
-        return datasets
-
+    # instance-method aliases kept for reference-API compatibility
     def oversample_dataset(self):
-        samples = self.samples.groupby(by="label")
-        bona_length = len(samples.groups["bonafide"])
-        spoof_length = len(samples.groups["spoof"])
-        diff_length = spoof_length - bona_length
-        if diff_length < 0:
-            raise NotImplementedError
-        if diff_length > 0:
-            bonafide = samples.get_group("bonafide").sample(
-                diff_length, replace=True
-            )
-            self.samples = pd.concat([self.samples, bonafide], ignore_index=True)
+        self.samples = balance_by_oversampling(self.samples)
 
     def undersample_dataset(self):
-        samples = self.samples.groupby(by="label")
-        bona_length = len(samples.groups["bonafide"])
-        spoof_length = len(samples.groups["spoof"])
-        if spoof_length < bona_length:
-            raise NotImplementedError
-        if spoof_length > bona_length:
-            spoofs = samples.get_group("spoof").sample(bona_length, replace=True)
-            self.samples = pd.concat(
-                [samples.get_group("bonafide"), spoofs], ignore_index=True
-            )
+        self.samples = balance_by_undersampling(self.samples)
 
     def get_bonafide_only(self):
         self.samples = self.samples.groupby(by="label").get_group("bonafide")
