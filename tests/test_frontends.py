@@ -172,3 +172,23 @@ class TestFrontends:
         x = jnp.asarray(_rand_wave(rng, batch=1, length=8000))
         g = jax.grad(lambda w: jnp.sum(frontends.lfcc(w)))(x)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestGoldenVectors:
+    """Pinned CPU-f32 frontend outputs: regression guard for any future
+    refactor of the STFT/filterbank/DCT pipeline (the EER-parity
+    linchpin — SURVEY §7 hard part #1)."""
+
+    def test_frontends_match_golden(self):
+        import pathlib
+
+        golden_path = pathlib.Path(__file__).parent / "golden" / \
+            "frontends_golden.npz"
+        g = np.load(golden_path)
+        x = jnp.asarray(g["wave"])
+        np.testing.assert_allclose(
+            np.asarray(frontends._lfcc_xla(x)), g["lfcc"], atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(frontends.mfcc(x)), g["mfcc"], atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(frontends.mel_spec(x)), g["mel_spec"], atol=1e-2)
