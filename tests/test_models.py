@@ -114,3 +114,28 @@ def test_gradient_wrt_input_flows(rng):
     assert g.shape == x.shape
     assert bool(jnp.any(g != 0))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestModelGoldens:
+    """Pinned CPU-f32 logits at fixed init/inputs: regression guard on
+    model numerics (init + forward) across refactors."""
+
+    @pytest.mark.slow
+    def test_logits_match_golden(self):
+        import pathlib
+
+        g = np.load(pathlib.Path(__file__).parent / "golden" /
+                    "model_logits_golden.npz")
+        wave = jnp.asarray(g["wave"])
+        for name, params in (
+            ("lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}),
+            ("specrnet", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}),
+            ("rawnet3", {}),
+        ):
+            module = models.get_model(name, params)
+            variables = models.init_model(
+                module, jax.random.PRNGKey(777), wave_length=16000
+            )
+            out = np.asarray(module.apply(variables, wave, train=False))
+            np.testing.assert_allclose(out, g[name], atol=1e-4, rtol=1e-4,
+                                       err_msg=name)

@@ -141,3 +141,32 @@ class TestRawNet3Parity:
             ref = oracle(torch.from_numpy(wave)).numpy()
         out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-2)
+
+
+def test_load_model_from_pth_file(tmp_path, rng):
+    """The full checkpoint.path -> torch .pth -> flax flow, including
+    the DataParallel 'module.' prefix fallback (src/utils.py:55-65)."""
+    torch.manual_seed(3)
+    oracle = TorchLCNN(input_channels=1, num_coefficients=80)
+    oracle.eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, np.random.default_rng(3))
+
+    # save with DataParallel-style 'module.' prefixes
+    sd = {f"module.{k}": v for k, v in oracle.state_dict().items()}
+    pth = tmp_path / "ckpt.pth"
+    torch.save(sd, pth)
+
+    config = {
+        "model": {"name": "lcnn",
+                  "parameters": {"input_channels": 1,
+                                 "frontend_algorithm": ["lfcc"]}},
+        "checkpoint": {"path": str(pth)},
+    }
+    module, variables = models.load_model(config)
+
+    wave = (rng.standard_normal((2, WAVE_LEN)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(wave)).numpy()
+    out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
