@@ -170,3 +170,64 @@ def test_load_model_from_pth_file(tmp_path, rng):
         ref = oracle(torch.from_numpy(wave)).numpy()
     out = np.asarray(module.apply(variables, jnp.asarray(wave), train=False))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_pgd_attack_output_parity(rng):
+    """Deterministic PGD (random_start=False) through the FULL gradient
+    chain — frontend backward + model backward + attack arithmetic —
+    must match a torch implementation on the same weights."""
+    import torch.nn.functional as F
+
+    torch.manual_seed(4)
+    oracle = TorchLCNN(input_channels=1, num_coefficients=80)
+    oracle.eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, np.random.default_rng(4))
+
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(4), wave_length=WAVE_LEN
+    )
+    variables = torch_import.import_state_dict("lcnn", _np_sd(oracle),
+                                               variables)
+
+    x01 = rng.random((2, WAVE_LEN)).astype(np.float32)
+    y = np.array([0, 1], np.int64)
+    eps, alpha, steps = 0.002, 0.001, 3
+
+    # torch PGD (pgd.py:59-76 semantics, no random start)
+    adv_t = torch.from_numpy(x01.copy())
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    for _ in range(steps):
+        adv_t.requires_grad_(True)
+        z = oracle(adv_t)
+        out = torch.cat([-z, z], dim=1)
+        cost = torch.nn.functional.cross_entropy(out, yt)
+        (g,) = torch.autograd.grad(cost, adv_t)
+        adv_t = adv_t.detach() + alpha * g.sign()
+        delta = torch.clamp(adv_t - xt, -eps, eps)
+        adv_t = torch.clamp(xt + delta, 0, 1).detach()
+
+    # ours
+    from adaa_tpu.attacks.gradient import pgd
+    from adaa_tpu.attacks import core as attack_core
+
+    logits_fn = attack_core.make_logits_fn(module, variables)
+    atk = pgd(logits_fn, eps=eps, alpha=alpha, steps=steps,
+              random_start=False)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+
+    ref = adv_t.numpy()
+    # the perturbations are +-alpha sign steps; coordinate-exact
+    # agreement means the gradient SIGNS matched there at every step.
+    # ~0.7% of coordinates have near-zero gradients whose sign is
+    # framework-noise-dependent — inherent to sign-based attacks.
+    agree = np.mean(np.abs(adv_j - ref) < 1e-6)
+    assert agree > 0.98, f"only {agree:.4%} of coordinates match"
+    # and every coordinate stays in the shared eps-ball
+    assert np.abs(adv_j - x01).max() <= eps + 1e-6
+    assert np.abs(ref - x01).max() <= eps + 1e-6
