@@ -56,3 +56,31 @@ def load_checkpoint(path: Union[Path, str], target: Any) -> Any:
             f"(got {path})."
         )
     return serialization.from_bytes(target, path.read_bytes())
+
+
+def save_checkpoint_orbax(
+    variables: Any,
+    model_dir: Union[Path, str],
+    name: str,
+    epoch: Optional[int] = None,
+) -> Path:
+    """Orbax-backed checkpoint (sharded-array aware — arrays laid out on
+    a multi-host mesh save without gathering to one host). Use for
+    large-scale runs; the msgpack path stays the default single-host
+    format."""
+    import orbax.checkpoint as ocp
+
+    full_model_dir = Path(model_dir).resolve() / name
+    epoch_str = f"_{epoch:02d}" if epoch is not None else ""
+    path = full_model_dir / f"ckpt{epoch_str}.orbax"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, variables, force=True)
+    LOGGER.info("Training model saved under: %s", path)
+    return path
+
+
+def load_checkpoint_orbax(path: Union[Path, str], target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).resolve(), target)
