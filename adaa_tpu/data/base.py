@@ -276,3 +276,92 @@ def wavefake_preprocessing_on_batch(batch_waveform, batch_sample_rate, cut: int 
         f"got {bw.shape[-1]} != {cut}"
     )
     return bw, batch_sample_rate
+
+
+def find_wav_files(path_to_dir) -> Optional[list]:
+    """All wav files under a directory tree, sorted
+    (reference src/utils.py:18-30); None when none found."""
+    paths = list(sorted(Path(path_to_dir).glob("**/*.wav")))
+    if len(paths) == 0:
+        return None
+    return paths
+
+
+class AudioDataset:
+    """Generic directory-walking wav dataset
+    (reference base_dataset.py:208-325): items are (waveform, sr) after
+    optional resample + silence trim (+ phone-call sim, unsupported
+    here as in our preprocessing — off by default in the reference)."""
+
+    def __init__(
+        self,
+        directory_or_path_list,
+        sample_rate: int = 16_000,
+        amount: Optional[int] = None,
+        normalize: bool = True,
+        trim: bool = True,
+        phone_call: bool = False,
+    ) -> None:
+        self.trim = trim
+        self.sample_rate = sample_rate
+        self.normalize = normalize
+        self.phone_call = phone_call
+
+        if isinstance(directory_or_path_list, list):
+            paths = directory_or_path_list
+        elif isinstance(directory_or_path_list, (str, Path)):
+            directory = Path(directory_or_path_list)
+            if not directory.exists():
+                raise IOError(f"Directory does not exists: {directory}")
+            paths = find_wav_files(directory)
+            if paths is None:
+                raise IOError(
+                    f"Directory did not contain wav files: {directory}"
+                )
+        else:
+            raise TypeError(
+                "Supplied unsupported type for argument "
+                f"directory_or_path_list {type(directory_or_path_list)}!"
+            )
+        if amount is not None:
+            paths = paths[:amount]
+        self._paths = paths
+
+    def __getitem__(self, index: int):
+        path = self._paths[index]
+        waveform, sample_rate = load_audio(path)
+        if sample_rate != self.sample_rate:
+            waveform, sample_rate = resample_wave(
+                waveform, sample_rate, self.sample_rate
+            )
+        if self.trim:
+            waveform, sample_rate = apply_trim(waveform, sample_rate)
+        if self.phone_call:
+            raise NotImplementedError(
+                "phone-call simulation is not provided (off by default in "
+                "the reference, base_dataset.py:25)"
+            )
+        return waveform, sample_rate
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+
+class PadDataset:
+    """Wrap a (waveform, sr) dataset with repeat-pad/cut
+    (reference base_dataset.py:328-358)."""
+
+    def __init__(self, dataset, cut: int = WAVE_FAKE_CUT, label=None):
+        self.dataset = dataset
+        self.cut = cut  # max 4 sec (ASVSpoof default)
+        self.label = label
+
+    def __getitem__(self, index):
+        waveform, sample_rate = self.dataset[index]
+        waveform = apply_pad(waveform, self.cut)
+        if self.label is None:
+            return waveform, sample_rate
+        return waveform, sample_rate, self.label
+
+    def __len__(self):
+        return len(self.dataset)

@@ -155,3 +155,46 @@ class TestSynthetic:
     def test_labels_alternate(self):
         ds = SyntheticDataset(n=10, wave_length=100)
         assert [ds[i][2] for i in range(4)] == [0, 1, 0, 1]
+
+
+class TestAudioAndPadDatasets:
+    def test_audio_dataset_walks_and_trims(self, tmp_path):
+        from scipy.io import wavfile
+
+        from adaa_tpu.data.base import AudioDataset, PadDataset, find_wav_files
+
+        sr = 16000
+        t = np.arange(sr, dtype=np.float32) / sr
+        loud = 0.5 * np.sin(2 * np.pi * 220 * t)
+        for i in range(3):
+            sub = tmp_path / f"d{i}"
+            sub.mkdir()
+            wavfile.write(sub / f"f{i}.wav", sr,
+                          (loud * 32767).astype(np.int16))
+
+        found = find_wav_files(tmp_path)
+        assert len(found) == 3
+        assert find_wav_files(tmp_path / "d0" / "empty_nonexistent"
+                              if False else tmp_path / "d0") is not None
+
+        ds = AudioDataset(tmp_path)
+        assert len(ds) == 3
+        wave, got_sr = ds[0]
+        assert got_sr == sr
+
+        padded = PadDataset(ds, cut=64_600, label=1)
+        w, s, label = padded[0]
+        assert w.shape == (64_600,)
+        assert label == 1
+
+    def test_audio_dataset_errors(self, tmp_path):
+        from adaa_tpu.data.base import AudioDataset
+
+        with pytest.raises(IOError):
+            AudioDataset(tmp_path / "missing")
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(IOError):
+            AudioDataset(empty)
+        with pytest.raises(TypeError):
+            AudioDataset(12345)
