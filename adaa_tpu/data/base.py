@@ -3,19 +3,19 @@
 Replaces the reference's libsox pipeline (reference:
 src/datasets/base_dataset.py) with numpy/scipy equivalents:
 
-* decode (wav native; flac/mp3 via soundfile when available),
+* decode (wav native; flac via the native decoder; mp3 via soundfile
+  when available),
 * polyphase resampling to 16 kHz (sox ``rate`` -> scipy resample_poly),
 * the sox ``silence 1 0.2 1% -1 0.2 1%`` gate (base_dataset.py:29-33)
-  reimplemented as an RMS-windowed run-length gate (documented
-  approximation of sox's period detector; pluggable),
+  as an exact port of the sox silence.c state machine (sox_silence
+  below; native C fast path in native/adaa_dsp.cpp),
 * repeat-pad / cut to 64_600 samples (base_dataset.py:343-355).
 
 The *on-batch re-preprocessing* used by the raw adversarial eval path
-(base_dataset.py:122-148 — a device->host->device python loop in the
-reference) is replaced by an on-device jnp repeat-pad: when samples
-come with ``return_raw`` they were already resampled and untrimmed
-(base_dataset.py:168-174), so only the shape-static pad/cut remains —
-zero host round trips.
+(base_dataset.py:122-148) re-runs the canonical pipeline **with
+default arguments — including the silence trim** — on every (attacked)
+waveform; wavefake_preprocessing_on_batch reproduces that faithfully
+(host round trip through the native trim, then one transfer back).
 """
 from __future__ import annotations
 
@@ -104,100 +104,183 @@ def resample_wave(
     return out.astype(np.float32), target_sample_rate
 
 
-def apply_trim(
-    waveform: np.ndarray,
+def sox_silence(
+    x: np.ndarray,
     sample_rate: int,
-    threshold: float = 0.01,
-    duration_s: float = 0.2,
-    window_s: float = 0.02,
-) -> Tuple[np.ndarray, int]:
-    """Silence gate approximating sox's ``silence`` effect with the
-    reference's parameters (SOX_SILENCE, base_dataset.py:29-33):
-    remove leading silence until 0.2 s of audio above 1% amplitude, and
-    remove interior/trailing silent stretches longer than 0.2 s.
+    start_periods: int = 1,
+    start_duration_s: float = 0.2,
+    start_threshold: float = 0.01,
+    stop_periods: int = -1,
+    stop_duration_s: float = 0.2,
+    stop_threshold: float = 0.01,
+) -> np.ndarray:
+    """Exact port of sox's ``silence`` effect state machine (sox 14.4.x
+    silence.c) for mono float audio — the engine behind the reference's
+    SOX_SILENCE trim (base_dataset.py:29-33, applied via
+    ``torchaudio.sox_effects.apply_effects_tensor`` at :273-286).
 
-    Activity is measured as a 20 ms sliding RMS above ``threshold`` of
-    full scale. Like the reference (base_dataset.py:282-284), if the
-    gate would remove everything the original audio is kept.
+    Semantics (defaults = the reference's ``silence 1 0.2 1% -1 0.2 1%``):
+
+    * activity = sliding RMS over the trailing ``rate/50`` (20 ms)
+      samples, including the current one, compared ``>= threshold``
+      (1% of full scale);
+    * leading trim (SILENCE_TRIM): input is discarded until
+      ``start_duration`` (0.2 s) *consecutive* above-threshold samples
+      are seen; that triggering run is then emitted;
+    * copy mode (SILENCE_COPY): below-threshold samples accumulate in a
+      holdoff buffer — short pauses (< 0.2 s) are flushed back out when
+      sound resumes; once the holdoff fills, the silence is *discarded
+      entirely* and, because ``stop_periods=-1`` (sox restart mode),
+      the machine returns to SILENCE_TRIM with a cleared RMS window —
+      so every interior/trailing silence >= 0.2 s is removed;
+    * at EOF a partial trailing holdoff (< 0.2 s of silence) is
+      flushed; a partial leading run is discarded (sox drain()).
+
+    Uses the native C implementation (native/adaa_dsp.cpp) when built;
+    this python twin is the semantic reference (tests/test_native.py
+    asserts bit-equality between the two).
+    """
+    from adaa_tpu.data import native
+
+    mono = np.ascontiguousarray(x, np.float32).reshape(-1)
+    if native.available():
+        out = native.sox_silence(
+            mono, sample_rate, start_periods, start_duration_s,
+            start_threshold, stop_periods, stop_duration_s, stop_threshold,
+        )
+        if out is not None:
+            return out
+    return _sox_silence_py(
+        mono, sample_rate, start_periods, start_duration_s, start_threshold,
+        stop_periods, stop_duration_s, stop_threshold,
+    )
+
+
+def _sox_silence_py(
+    x: np.ndarray,
+    sample_rate: int,
+    start_periods: int,
+    start_duration_s: float,
+    start_threshold: float,
+    stop_periods: int,
+    stop_duration_s: float,
+    stop_threshold: float,
+) -> np.ndarray:
+    """Pure-python twin of native adaa_sox_silence (exact silence.c
+    state machine; see sox_silence docstring)."""
+    n = x.shape[0]
+    do_start = start_periods > 0
+    restart = stop_periods < 0
+    n_stop_periods = -stop_periods if restart else stop_periods
+    do_stop = stop_periods != 0
+    wsize = max(1, sample_rate // 50)
+    start_dur = max(1, int(start_duration_s * sample_rate + 0.5))
+    stop_dur = max(1, int(stop_duration_s * sample_rate + 0.5))
+
+    win = np.zeros(wsize, np.float64)
+    cur = 0
+    rms_sum = 0.0
+    mode = "TRIM" if do_start else "COPY"
+    i = m = 0
+    out = np.empty(n, np.float32)
+    start_found = stop_found = 0
+    hold_start = hold_len = 0
+    shold_start = shold_len = 0
+    xf = x.astype(np.float64)
+
+    while i < n:
+        s2 = xf[i] * xf[i]
+        if mode == "TRIM":
+            val = (rms_sum - win[cur] + s2) / wsize
+            above = val >= 0 and math.sqrt(val) >= start_threshold
+            rms_sum -= win[cur]
+            win[cur] = s2
+            rms_sum += win[cur]
+            cur = (cur + 1) % wsize
+            if above:
+                if hold_len == 0:
+                    hold_start = i
+                hold_len += 1
+                i += 1
+                if hold_len >= start_dur:
+                    start_found += 1
+                    if start_found >= start_periods:
+                        out[m : m + hold_len] = x[hold_start : hold_start + hold_len]
+                        m += hold_len
+                        hold_len = 0
+                        mode = "COPY"
+                    else:
+                        hold_len = 0
+            else:
+                hold_len = 0
+                i += 1
+        else:  # COPY
+            if not do_stop:
+                out[m : m + (n - i)] = x[i:]
+                m += n - i
+                i = n
+                break
+            val = (rms_sum - win[cur] + s2) / wsize
+            above = val >= 0 and math.sqrt(val) >= stop_threshold
+            if above and shold_len > 0:
+                # COPY_FLUSH: short pause kept; sample re-processed
+                out[m : m + shold_len] = x[shold_start : shold_start + shold_len]
+                m += shold_len
+                shold_len = 0
+                continue
+            rms_sum -= win[cur]
+            win[cur] = s2
+            rms_sum += win[cur]
+            cur = (cur + 1) % wsize
+            if above:
+                out[m] = x[i]
+                m += 1
+                i += 1
+            else:
+                if shold_len == 0:
+                    shold_start = i
+                shold_len += 1
+                i += 1
+                if shold_len >= stop_dur:
+                    stop_found += 1
+                    if stop_found >= n_stop_periods:
+                        shold_len = 0
+                        if restart:
+                            stop_found = start_found = 0
+                            hold_len = 0
+                            win[:] = 0.0
+                            rms_sum = 0.0
+                            cur = 0
+                            mode = "TRIM"
+                        else:
+                            return out[:m].copy()  # SILENCE_STOP
+                    else:
+                        out[m : m + shold_len] = x[shold_start : shold_start + shold_len]
+                        m += shold_len
+                        shold_len = 0
+    # drain: flush partial trailing stop-holdoff; partial start run dropped
+    if mode == "COPY" and shold_len > 0:
+        out[m : m + shold_len] = x[shold_start : shold_start + shold_len]
+        m += shold_len
+    return out[:m].copy()
+
+
+def apply_trim(
+    waveform: np.ndarray, sample_rate: int
+) -> Tuple[np.ndarray, int]:
+    """Silence trim with the reference's sox parameters (SOX_SILENCE,
+    base_dataset.py:29-33) via the exact silence.c port above. Like the
+    reference's apply_trim (base_dataset.py:273-286), if the gate
+    returns nothing (fully-silent input) the original audio is kept.
     """
     x = waveform
     squeeze = x.ndim == 2
     mono = x[0] if squeeze else x
-    n = mono.shape[-1]
-    win = max(1, int(window_s * sample_rate))
-    min_run = int(duration_s * sample_rate)
-
-    # native C path (identical semantics; tests/test_native.py)
-    from adaa_tpu.data import native
-
-    if native.available():
-        kept = native.trim_silence(mono, sample_rate, threshold,
-                                   duration_s, window_s)
-        if kept is not None:
-            out = kept[None, :] if squeeze else kept
-            return out.astype(np.float32), sample_rate
-
-    if n < win + 1:
-        return waveform, sample_rate
-
-    # sliding RMS via cumulative sum of squares
-    sq = np.concatenate([[0.0], np.cumsum(mono.astype(np.float64) ** 2)])
-    rms = np.sqrt(
-        np.maximum(sq[win:] - sq[:-win], 0.0) / win
-    )  # (n - win + 1,)
-    active_core = rms >= threshold
-    # extend to per-sample activity (a sample is active if any window
-    # containing it is active)
-    active = np.zeros(n, bool)
-    if active_core.any():
-        idx = np.flatnonzero(active_core)
-        starts = idx
-        ends = np.minimum(idx + win, n)
-        # vectorized interval painting: mark [start, end) of every window
-        paint = np.zeros(n + 1, np.int32)
-        np.add.at(paint, starts, 1)
-        np.add.at(paint, ends, -1)
-        active = np.cumsum(paint[:-1]) > 0
-
-    if not active.any():
-        return waveform, sample_rate  # keep original when fully silent
-
-    # leading silence: sox starts output at the first above-threshold
-    # sample of the triggering period — refine the painted activity edge
-    # to the first sample that is both active and individually loud
-    loud = np.abs(mono) >= threshold
-    lead = active & loud
-    first = int(np.argmax(lead)) if lead.any() else int(np.argmax(active))
-
-    # interior/trailing: drop silent runs longer than min_run
-    keep = np.ones(n, bool)
-    keep[:first] = False
-    silent = ~active
-    silent[:first] = False
-    runs = _bool_runs(silent)
-    for s, e in runs:
-        if e - s > min_run:
-            keep[s:e] = False
-
-    kept = mono[keep]
+    kept = sox_silence(mono, sample_rate)
     if kept.shape[-1] == 0:
         return waveform, sample_rate
     out = kept[None, :] if squeeze else kept
     return out.astype(np.float32), sample_rate
-
-
-def _bool_runs(mask: np.ndarray):
-    """[(start, end)) runs of True in a boolean array."""
-    if not mask.any():
-        return []
-    diff = np.diff(mask.astype(np.int8))
-    starts = list(np.flatnonzero(diff == 1) + 1)
-    ends = list(np.flatnonzero(diff == -1) + 1)
-    if mask[0]:
-        starts = [0] + starts
-    if mask[-1]:
-        ends = ends + [mask.shape[0]]
-    return list(zip(starts, ends))
 
 
 def apply_pad(waveform: np.ndarray, cut: int = WAVE_FAKE_CUT) -> np.ndarray:
@@ -258,24 +341,34 @@ def wavefake_preprocessing(
     return np.asarray(waveform, np.float32).reshape(-1), sample_rate
 
 
-def wavefake_preprocessing_on_batch(batch_waveform, batch_sample_rate, cut: int = WAVE_FAKE_CUT):
-    """On-device batch re-preprocessing for the raw adversarial eval path.
+def wavefake_preprocessing_on_batch(
+    batch_waveform, batch_sample_rate, *args, **kwargs
+):
+    """Batched re-preprocessing for the raw adversarial eval path —
+    behavioral mirror of the reference's
+    ``wavefake_preprocessing_on_batch`` (base_dataset.py:122-148):
+    pull the batch to host, run the canonical per-sample pipeline
+    **with default args** (resample -> trim -> repeat-pad/cut to
+    64_600; trim IS on by default — the attacked waveform is
+    silence-trimmed and re-padded before the victim sees it, exactly
+    as in evaluate_models_on_adversarial_attacks.py:229-234), restack.
 
-    The reference round-trips to host and loops per sample
-    (base_dataset.py:122-148); but raw-mode samples skip trim and are
-    already at 16 kHz (base_dataset.py:168-174), so the only remaining
-    op is the repeat-pad/cut — which is shape-static: raw batches are
-    stacked at ``cut`` length already, so this is the identity on
-    device. Kept for call-site parity.
+    Returns numpy arrays; the caller moves them back to device (the
+    reference restores the original device the same way). The host
+    round trip matches the reference's; the per-sample trim runs in
+    the native C gate, so the loop is cheap relative to attack
+    generation.
     """
-    import jax.numpy as jnp
-
-    bw = jnp.asarray(batch_waveform)
-    assert bw.shape[-1] == cut, (
-        "raw batches are expected pre-padded to the canonical length; "
-        f"got {bw.shape[-1]} != {cut}"
-    )
-    return bw, batch_sample_rate
+    bw = np.asarray(batch_waveform)
+    srs = np.asarray(batch_sample_rate).reshape(-1)
+    waves, out_srs = [], []
+    for b in range(bw.shape[0]):
+        w, s = wavefake_preprocessing(
+            bw[b][None, :], int(srs[b]), *args, **kwargs
+        )
+        waves.append(w)
+        out_srs.append(s)
+    return np.stack(waves).astype(np.float32), np.asarray(out_srs, srs.dtype)
 
 
 def find_wav_files(path_to_dir) -> Optional[list]:

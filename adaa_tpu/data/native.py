@@ -46,11 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
     f32p = ctypes.POINTER(ctypes.c_float)
     i16p = ctypes.POINTER(ctypes.c_int16)
     lib.adaa_normalize_i16.argtypes = [i16p, f32p, ctypes.c_int64]
-    lib.adaa_trim_silence.argtypes = [
-        f32p, ctypes.c_int64, f32p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_float,
+    lib.adaa_sox_silence.argtypes = [
+        f32p, ctypes.c_int64, f32p,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int64,
     ]
-    lib.adaa_trim_silence.restype = ctypes.c_int64
+    lib.adaa_sox_silence.restype = ctypes.c_int64
     lib.adaa_repeat_pad.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64]
     _lib = lib
     return _lib
@@ -74,22 +76,34 @@ def normalize_i16(pcm: np.ndarray) -> Optional[np.ndarray]:
     return out
 
 
-def trim_silence(
-    x: np.ndarray, sample_rate: int, threshold: float = 0.01,
-    duration_s: float = 0.2, window_s: float = 0.02,
+def sox_silence(
+    x: np.ndarray,
+    sample_rate: int,
+    start_periods: int = 1,
+    start_duration_s: float = 0.2,
+    start_threshold: float = 0.01,
+    stop_periods: int = -1,
+    stop_duration_s: float = 0.2,
+    stop_threshold: float = 0.01,
 ) -> Optional[np.ndarray]:
+    """Native sox `silence` effect (exact silence.c state machine); see
+    adaa_tpu.data.base.sox_silence for the semantics/python twin."""
     lib = _load()
     if lib is None:
         return None
     x = np.ascontiguousarray(x, np.float32).reshape(-1)
     out = np.empty_like(x)
-    win = max(1, int(window_s * sample_rate))
-    min_run = int(duration_s * sample_rate)
-    kept = lib.adaa_trim_silence(
+    kept = lib.adaa_sox_silence(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         x.size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        win, min_run, threshold,
+        start_periods,
+        int(start_duration_s * sample_rate + 0.5),
+        start_threshold,
+        stop_periods,
+        int(stop_duration_s * sample_rate + 0.5),
+        stop_threshold,
+        sample_rate // 50,
     )
     return out[:kept].copy()
 

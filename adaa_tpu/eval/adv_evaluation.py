@@ -10,10 +10,14 @@ no-attack predictions feeding the qualitative callback, and the
 White-box when the attack config equals the victim config;
 transferability when the surrogate is a different architecture.
 
-TPU design: attack generation + victim forward is ONE jitted program
-per batch shape — the reference's device->host->device re-preprocess
-round trip (base_dataset.py:122-148) is eliminated (see
-data.base.wavefake_preprocessing_on_batch).
+TPU design: attack generation + victim forward are jitted programs;
+in raw mode (``--raw_from_dataset``) the attacked batch is re-run
+through the canonical preprocessing WITH DEFAULTS — silence trim +
+repeat-pad — before the victim prediction, exactly as the reference
+does (evaluate_models_on_adversarial_attacks.py:229-234 ->
+base_dataset.py:122-148); the trim is host-side (native C sox-silence
+port), so raw mode pays one device->host->device round trip per batch,
+same as the reference.
 """
 from __future__ import annotations
 
@@ -102,6 +106,7 @@ def generate_attacks(
     y_pred, y_pred_label, y = [], [], []
     for i, batch in enumerate(loader):
         batch_x = _shard(jnp.asarray(batch[0]))
+        batch_sr = np.asarray(batch[1])
         batch_y = _shard(jnp.asarray(batch[2]))
         batch_meta = batch[3] if len(batch) > 3 else None
 
@@ -111,18 +116,39 @@ def generate_attacks(
         else:
             batch_x_attacked = batch_x
 
-        # raw-mode samples are already padded to the canonical length on
-        # host; the on-batch re-preprocess is the identity on device
-        # (see data.base.wavefake_preprocessing_on_batch)
+        # the qualitative callback receives the UN-re-preprocessed
+        # waveforms (reference keeps noproc clones, :225-226)
+        batch_x_noproc = np.asarray(batch_x)
+        batch_x_attacked_noproc = np.asarray(batch_x_attacked)
+
+        if raw_sample_from_dataset:
+            # reference :229-234 — raw samples were loaded untrimmed;
+            # the attacked audio is re-run through the canonical
+            # preprocessing WITH DEFAULTS (silence trim + repeat-pad)
+            # before the victim sees it
+            from adaa_tpu.data import base as dsp
+
+            repro, _ = dsp.wavefake_preprocessing_on_batch(
+                batch_x_attacked_noproc, batch_sr
+            )
+            batch_x_attacked = _shard(jnp.asarray(repro))
+
         preds = np.asarray(victim_predict(batch_x_attacked))
         preds_label = (preds + 0.5).astype(np.int32)
 
         if on_attack_end_callback is not None:
+            if raw_sample_from_dataset:
+                from adaa_tpu.data import base as dsp
+
+                repro_clean, _ = dsp.wavefake_preprocessing_on_batch(
+                    batch_x_noproc, batch_sr
+                )
+                batch_x = _shard(jnp.asarray(repro_clean))
             preds_noattack = np.asarray(victim_predict(batch_x))
             preds_noattack_label = (preds_noattack + 0.5).astype(np.int32)
             on_attack_end_callback(
-                batch_x=np.asarray(batch_x),
-                batch_x_attacked=np.asarray(batch_x_attacked),
+                batch_x=batch_x_noproc,
+                batch_x_attacked=batch_x_attacked_noproc,
                 batch_y=np.asarray(batch_y),
                 batch_preds_label=preds_label,
                 batch_preds=preds,

@@ -65,6 +65,130 @@ class TestTrim:
         assert out.shape[-1] == sr  # reference keeps original
 
 
+class TestSoxSilenceSemantics:
+    """Hand-derived goldens for the exact sox silence.c state machine
+    (``silence 1 0.2 1% -1 0.2 1%``), derivable in closed form for
+    constant-amplitude steps: activity = 20 ms (320-sample) trailing
+    RMS >= 0.01; with a 0.5 step the RMS crosses the threshold at the
+    first loud sample, and after a loud->silent edge it stays above for
+    exactly 319 silent samples (0.25*(320-k)/320 >= 1e-4 until k=320)
+    — the distinctive sox "window drain leak" the previous approximate
+    gate could not produce."""
+
+    SR = 16000  # -> window 320, durations 3200 samples
+
+    def _run(self, x):
+        return dsp.sox_silence(np.asarray(x, np.float32), self.SR)
+
+    def test_leading_silence_cut_at_first_loud_sample(self):
+        x = np.concatenate([np.zeros(8000), 0.5 * np.ones(12800)])
+        out = self._run(x)
+        np.testing.assert_array_equal(out, x[8000:].astype(np.float32))
+
+    def test_interior_long_silence_removed_with_window_leak(self):
+        x = np.concatenate(
+            [0.5 * np.ones(8000), np.zeros(8000), 0.5 * np.ones(8000)]
+        )
+        out = self._run(x)
+        # 8000 loud + 319 leaked silent samples + 8000 loud
+        assert out.shape[0] == 8000 + 319 + 8000
+        np.testing.assert_array_equal(out[8000:8319], np.zeros(319, np.float32))
+
+    def test_interior_short_silence_kept(self):
+        # below-run = 3000 - 319 = 2681 < 3200 -> holdoff flushed
+        x = np.concatenate(
+            [0.5 * np.ones(8000), np.zeros(3000), 0.5 * np.ones(8000)]
+        )
+        out = self._run(x)
+        np.testing.assert_array_equal(out, x.astype(np.float32))
+
+    def test_trailing_long_silence_removed(self):
+        x = np.concatenate([0.5 * np.ones(8000), np.zeros(8000)])
+        out = self._run(x)
+        assert out.shape[0] == 8000 + 319
+
+    def test_trailing_short_silence_kept_by_drain(self):
+        x = np.concatenate([0.5 * np.ones(8000), np.zeros(2000)])
+        out = self._run(x)
+        np.testing.assert_array_equal(out, x.astype(np.float32))
+
+    def test_sound_shorter_than_period_is_dropped(self):
+        # a 0.1 s blip never completes the 0.2 s trigger period ->
+        # SILENCE_TRIM holds it at EOF and drain discards it
+        x = np.concatenate([np.zeros(8000), 0.5 * np.ones(1600)])
+        out = self._run(x)
+        assert out.shape[0] == 0
+
+    def test_stop_periods_positive_truncates_at_first_silence(self):
+        # non-restart mode: processing stops at the first full silence
+        x = np.concatenate(
+            [0.5 * np.ones(8000), np.zeros(4000), 0.5 * np.ones(8000)]
+        )
+        out = dsp.sox_silence(
+            np.asarray(x, np.float32), self.SR, stop_periods=1
+        )
+        assert out.shape[0] == 8000 + 319  # rest of the file dropped
+
+
+class TestOnBatchRepreprocess:
+    """The raw-mode post-attack re-preprocess must match a torch
+    replication of the reference loop
+    (evaluate_models_on_adversarial_attacks.py:229-234 ->
+    base_dataset.py:122-148): per sample, canonical preprocessing with
+    DEFAULT args — i.e. silence trim IS applied — then torch-tile
+    repeat-pad/cut (base_dataset.py:343-355), then restack."""
+
+    def _torch_oracle(self, batch, srs, cut=64_600):
+        import torch
+
+        waves = []
+        for w, sr in zip(batch, srs):
+            t = torch.as_tensor(np.asarray(w, np.float32)).unsqueeze(0)
+            # resample is a no-op at 16 kHz; trim via the shared sox
+            # silence.c port (real sox is unavailable in this image —
+            # the gate itself is golden-tested in TestSoxSilenceSemantics)
+            trimmed = dsp.sox_silence(t.numpy()[0], int(sr))
+            if trimmed.shape[0] > 0:  # reference apply_trim fallback
+                t = torch.as_tensor(trimmed).unsqueeze(0)
+            # PadDataset.apply_pad, verbatim torch semantics
+            wv = t.squeeze(0)
+            if wv.shape[0] >= cut:
+                wv = wv[:cut]
+            else:
+                num_repeats = int(cut / wv.shape[0]) + 1
+                wv = torch.tile(wv, (1, num_repeats))[:, :cut][0]
+            waves.append(wv)
+        return torch.stack(waves).numpy()
+
+    def test_matches_torch_oracle_on_silence_bearing_batch(self):
+        sr = 16000
+        rng = np.random.default_rng(7)
+        batch = np.stack([
+            np.concatenate([np.zeros(20000), 0.5 * np.ones(44600)]),
+            np.concatenate([0.4 * np.ones(30000), np.zeros(10000),
+                            0.4 * np.ones(24600)]),
+            (rng.standard_normal(64600) * 0.2),
+            np.concatenate([0.3 * np.ones(60000), np.zeros(4600)]),
+        ]).astype(np.float32)
+        srs = np.full(4, sr, np.int32)
+
+        ours, out_srs = dsp.wavefake_preprocessing_on_batch(batch, srs)
+        oracle = self._torch_oracle(batch, srs)
+        assert ours.shape == (4, 64_600)
+        np.testing.assert_array_equal(ours, oracle)
+        assert (out_srs == sr).all()
+
+    def test_trim_actually_changes_silence_bearing_waves(self):
+        # guard against regressing to the identity shortcut: a wave with
+        # a long leading silence must come back different
+        x = np.concatenate([np.zeros(20000), 0.5 * np.ones(44600)]).astype(
+            np.float32
+        )[None, :]
+        out, _ = dsp.wavefake_preprocessing_on_batch(x, np.array([16000]))
+        assert not np.array_equal(out[0], x[0])
+        assert out[0, 0] == 0.5  # leading silence gone
+
+
 class TestResample:
     def test_downsample_halves_length(self):
         x = np.random.default_rng(0).standard_normal((1, 32000)).astype(np.float32)

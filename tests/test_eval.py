@@ -70,6 +70,83 @@ def test_generate_attacks_no_attack(lcnn):
     assert 0 <= report["accuracy"] <= 100
 
 
+class _ProbeModule:
+    """Victim whose logit reveals what audio it was shown: looks only
+    at the first second — silence-leading raw waves score negative,
+    trimmed-and-repadded ones positive."""
+
+    def apply(self, variables, x, train=False):
+        return ((x[:, :16000].mean(axis=1) - 0.15) * 100.0)[:, None]
+
+
+class _RawSilenceDataset:
+    """Raw-mode batch source: every wave starts with 2 s of silence
+    (return_raw semantics: loaded untrimmed, padded to 64_600)."""
+
+    def __init__(self, n=8):
+        wave = np.concatenate(
+            [np.zeros(32000), 0.3 * np.ones(32600)]
+        ).astype(np.float32)
+        self.items = [
+            (wave, 16000, i % 2, ("N/A", f"p{i}", "val", 4.0))
+            for i in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_generate_attacks_raw_mode_repreprocesses_attacked_audio():
+    """--raw_from_dataset parity (VERDICT item 1): the attacked audio
+    must be silence-trimmed + re-padded with DEFAULT preprocessing args
+    before the victim sees it (reference
+    evaluate_models_on_adversarial_attacks.py:229-234). The probe's
+    logit on the raw wave is (0 - 0.15)*100 < 0 -> pred ~0; on the
+    trimmed+re-padded wave (constant 0.3 everywhere after repeat-pad)
+    it is (0.3 - 0.15)*100 > 0 -> pred ~1."""
+    probe = _ProbeModule()
+    ds = _RawSilenceDataset(n=8)
+
+    captured = {}
+
+    def cb(**kw):
+        captured.update(kw)
+
+    report_raw = generate_attacks(
+        victim_module=probe,
+        victim_variables={},
+        dataset=ds,
+        attack_name="NO_ATTACK",
+        batch_size=4,
+        raw_sample_from_dataset=True,
+        on_attack_end_callback=cb,
+    )
+    # victim saw the re-preprocessed audio -> all preds ~1
+    assert report_raw["accuracy"] in (0.0, 50.0, 100.0)
+    assert captured["batch_preds"].min() > 0.99
+    # the no-attack predictions are re-preprocessed too (reference :240-246)
+    assert captured["batch_preds_noattack"].min() > 0.99
+    # but the qualitative callback receives the UNprocessed waveforms
+    assert captured["batch_x"][0, 0] == 0.0
+    assert captured["batch_x_attacked"][0, 0] == 0.0
+
+    # without the raw flag nothing is re-preprocessed: preds ~0
+    report_clean = generate_attacks(
+        victim_module=probe,
+        victim_variables={},
+        dataset=ds,
+        attack_name="NO_ATTACK",
+        batch_size=4,
+        raw_sample_from_dataset=False,
+        on_attack_end_callback=cb,
+    )
+    assert captured["batch_preds"].max() < 0.01
+    del report_clean
+
+
 def test_qualitative_callback(lcnn, tmp_path):
     module, variables = lcnn
     ds = SyntheticDataset(n=32, subset="val", wave_length=WAVE_LEN,

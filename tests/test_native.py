@@ -24,10 +24,9 @@ def test_repeat_pad_matches_numpy():
         np.testing.assert_array_equal(out, ref)
 
 
-def test_trim_matches_numpy_reference():
-    """Native trim must equal the numpy gate on representative audio."""
-    import importlib
-
+def test_sox_silence_native_matches_python_twin():
+    """Native sox-silence state machine must be bit-equal to the pure
+    python twin on representative and adversarial audio."""
     from adaa_tpu.data import base
 
     sr = 16000
@@ -43,14 +42,17 @@ def test_trim_matches_numpy_reference():
         np.zeros(sr, np.float32),
         (rng.standard_normal(sr) * 0.2).astype(np.float32),
     ]
+    # random multi-segment signals with amplitudes straddling the 1%
+    # threshold (exercise restarts, holdoff flushes, window drain)
+    for _ in range(10):
+        segs = [
+            (rng.standard_normal(int(rng.integers(100, 9000)))
+             * rng.choice([0.0, 0.003, 0.01, 0.05, 0.4])).astype(np.float32)
+            for _ in range(6)
+        ]
+        cases.append(np.concatenate(segs))
+
     for x in cases:
-        nat = native.trim_silence(x, sr)
-        # numpy path: temporarily force fallback by calling the pure
-        # implementation body via monkeypatched availability
-        orig = native.available
-        try:
-            native.available = lambda: False
-            ref, _ = base.apply_trim(x[None, :], sr)
-        finally:
-            native.available = orig
-        np.testing.assert_array_equal(nat, ref[0])
+        nat = native.sox_silence(x, sr)
+        py = base._sox_silence_py(x, sr, 1, 0.2, 0.01, -1, 0.2, 0.01)
+        np.testing.assert_array_equal(nat, py)
