@@ -240,8 +240,15 @@ class AdversarialGDTrainer(GDTrainer):
     def validation_epoch(
         self, eval_step, state, test_loader, adv_fn, attack_variables, key
     ):
+        """Clean (adv_fn=None) or per-attack validation pass. With the
+        trainer's ``compute_eer`` flag set, the reference's hardcoded
+        test/eer placeholder 0 (trainer.py:417 "TODO: revert EER
+        support") is replaced by the real EER on flipped labels — most
+        useful here, where it gives per-attack adversarial EER; the
+        default keeps the reference's log surface."""
         test_loss, num_correct, num_total = 0.0, 0.0, 0
         eer_val = 0  # matches reference placeholder (trainer.py:417)
+        scores, labels = [], []
         variables = state.variables()
         for batch in test_loader:
             batch_x = jnp.asarray(batch[0])
@@ -250,11 +257,22 @@ class AdversarialGDTrainer(GDTrainer):
             if adv_fn is not None:
                 key, ak = jax.random.split(key)
                 batch_x = adv_fn(attack_variables, batch_x, batch_y, ak)
-            loss, correct, _ = eval_step(variables, batch_x, batch_y)
+            loss, correct, out = eval_step(variables, batch_x, batch_y)
             num_total += bsz
             test_loss += float(loss) * bsz
             num_correct += int(correct)
+            if self.compute_eer:
+                scores.append(np.asarray(jax.nn.sigmoid(out.squeeze(-1))))
+                labels.append(np.asarray(batch_y))
         num_total = max(num_total, 1)
+        if self.compute_eer and scores:
+            from adaa_tpu.metrics import calculate_eer
+
+            y = np.concatenate(labels)
+            try:
+                _, eer_val, _, _ = calculate_eer(1 - y, np.concatenate(scores))
+            except (ValueError, ZeroDivisionError):
+                eer_val = float("nan")
         return test_loss / num_total, 100.0 * num_correct / num_total, eer_val
 
 

@@ -88,6 +88,7 @@ def main(args):
         epochs=args.epochs,
         optimizer_kwargs=optimizer_config,
         use_scheduler=use_scheduler,
+        compute_eer=args.compute_eer,
     ).train(
         dataset=data_train,
         module=module,
@@ -158,6 +159,13 @@ def parse_args():
     parser.add_argument(
         "--finetune",
         help="Finetune using checkpoint provided in a config",
+        action="store_true",
+    )
+    parser.add_argument(
+        "--compute_eer",
+        help="Compute real per-epoch validation EER (incl. per-attack "
+        "adversarial EER) instead of the reference's placeholder 0 "
+        "(src/trainer.py:417 'TODO: revert EER support').",
         action="store_true",
     )
     return parser.parse_args()

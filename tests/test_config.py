@@ -54,3 +54,21 @@ def test_shipped_configs_parse():
         if "model" in loaded:
             ec = ExperimentConfig.from_dict(loaded)
             assert ec.model.name in ("lcnn", "specrnet", "rawnet3"), f
+
+
+def test_finetune_config_filename_set_mirrors_reference():
+    """The yaml surface is frozen to the reference's: the finetune
+    config set must match configs/aa_training/finetune/ file-for-file
+    (reference repo, incl. the _fixedpath variants)."""
+    import os
+
+    expected = {
+        "lcnn_all.yaml",
+        "lcnn_fab.yaml",
+        "lcnn_fgsm.yaml",
+        "lcnn_pgdl2.yaml",
+        "lcnn_pgdl2_fixedpath.yaml",
+        "rawnet3_pgdl2_fixedpath.yaml",
+        "specrnet_pgdl2_fixedpath.yaml",
+    }
+    assert set(os.listdir("configs/aa_training/finetune")) == expected
