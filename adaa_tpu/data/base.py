@@ -283,6 +283,146 @@ def apply_trim(
     return out.astype(np.float32), sample_rate
 
 
+# ---------------------------------------------------------------------------
+# Phone-call simulation (reference base_dataset.py:303-322: sox lowpass
+# + compand + rate 8000 + GSM codec; off by default,
+# WAVE_FAKE_CELL_PHONE=False at :25)
+# ---------------------------------------------------------------------------
+
+def lowpass_biquad(
+    x: np.ndarray, sample_rate: int, cutoff: float, q: float = 0.7071067811865476
+) -> np.ndarray:
+    """sox ``lowpass <freq>`` — 2-pole Butterworth biquad (RBJ audio-EQ
+    cookbook coefficients, sox biquads.c defaults Q=0.707)."""
+    from scipy.signal import lfilter
+
+    w0 = 2.0 * math.pi * cutoff / sample_rate
+    alpha = math.sin(w0) / (2.0 * q)
+    cw = math.cos(w0)
+    b = np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2], np.float64)
+    a = np.array([1 + alpha, -2 * cw, 1 - alpha], np.float64)
+    return lfilter(b / a[0], a / a[0], x.astype(np.float64), axis=-1).astype(
+        np.float32
+    )
+
+
+def compand(
+    x: np.ndarray,
+    sample_rate: int,
+    attack_s: float = 0.02,
+    decay_s: float = 0.05,
+    tf_points=((-60.0, -60.0), (-30.0, -10.0), (-20.0, -8.0),
+               (-5.0, -8.0), (-2.0, -8.0)),
+    gain_db: float = -8.0,
+    initial_volume_db: float = -7.0,
+    delay_s: float = 0.05,
+) -> np.ndarray:
+    """sox ``compand`` (compand.c/compandt.c model) — defaults are the
+    reference's phone-call parameters (base_dataset.py:307-315):
+    ``compand 0.02,0.05 -60,-60,-30,-10,-20,-8,-5,-8,-2,-8 -8 -7 0.05``.
+
+    Model (as in sox): a per-sample envelope follower
+    ``v += (|x|-v) * (1-exp(-1/(rate*T)))`` with separate attack/decay
+    time constants; the transfer function is piecewise-linear in the dB
+    domain over the given (in,out) points with the makeup ``gain_db``
+    folded into the outputs and — as sox's compandt.c does ("Add 0,0 if
+    necessary") — an appended (0,0) point when the curve doesn't end at
+    full scale; quiet inputs below the first point get that point's
+    constant gain. The gain derived from the *current* envelope is
+    applied to the sample ``delay_s`` earlier (lookahead delay buffer,
+    flushed at EOF like sox's drain). Soft-knee radius is not
+    implemented (the reference passes none).
+    """
+    mono = np.ascontiguousarray(x, np.float64).reshape(-1)
+    n = mono.shape[0]
+
+    pts = [(float(i), float(o) + gain_db) for i, o in tf_points]
+    if pts[-1] != (0.0, gain_db):  # sox: append 0 dB point (+ gain)
+        pts.append((0.0, 0.0 + gain_db))
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+
+    def transfer_gain(v: float) -> float:
+        """linear gain for detected volume v (linear)."""
+        if v <= 0.0:
+            return 10.0 ** ((ys[0] - xs[0]) / 20.0)
+        in_db = 20.0 * math.log10(v)
+        if in_db <= xs[0]:
+            out_db = in_db + (ys[0] - xs[0])  # slope-1 extension below
+        else:
+            out_db = float(np.interp(in_db, xs, ys))
+        return 10.0 ** ((out_db - in_db) / 20.0)
+
+    att = 1.0 - math.exp(-1.0 / (sample_rate * attack_s)) \
+        if attack_s > 1.0 / sample_rate else 1.0
+    dec = 1.0 - math.exp(-1.0 / (sample_rate * decay_s)) \
+        if decay_s > 1.0 / sample_rate else 1.0
+
+    delay = int(delay_s * sample_rate + 0.5)
+    out = np.empty(n, np.float64)
+    v = 10.0 ** (initial_volume_db / 20.0)
+    m = 0
+    for i in range(n):
+        d = abs(mono[i]) - v
+        v += d * (att if d > 0 else dec)
+        if delay > 0:
+            if i >= delay:  # gain from current volume, delayed sample
+                out[m] = mono[i - delay] * transfer_gain(v)
+                m += 1
+        else:
+            out[m] = mono[i] * transfer_gain(v)
+            m += 1
+    # drain: flush the delay buffer with the final envelope's gain
+    if delay > 0:
+        g = transfer_gain(v)
+        tail = mono[n - min(delay, n):]
+        out[m : m + tail.shape[0]] = tail * g
+        m += tail.shape[0]
+    return out[:m].astype(np.float32)
+
+
+def gsm_codec_roundtrip(x: np.ndarray, sample_rate: int) -> np.ndarray:
+    """GSM 06.10 full-rate encode+decode round trip — the reference's
+    ``apply_codec(waveform, sample_rate, format="gsm")``
+    (base_dataset.py:321). Uses the native C GSM implementation when
+    built; otherwise raises naming the missing capability."""
+    from adaa_tpu.data import native
+
+    out = native.gsm_roundtrip(np.asarray(x, np.float32).reshape(-1),
+                               sample_rate)
+    if out is None:
+        raise RuntimeError(
+            "GSM 06.10 codec round trip requires the native DSP library "
+            "(native/adaa_dsp.cpp, built via `make -C native`); no "
+            "python GSM codec is available in this environment. Pass "
+            "codec=None to process_phone_call to skip the codec stage."
+        )
+    return out
+
+
+def process_phone_call(
+    waveform: np.ndarray, sample_rate: int, codec: Optional[str] = "gsm"
+) -> Tuple[np.ndarray, int]:
+    """Phone-call simulation (reference base_dataset.py:303-322):
+    ``lowpass 4000`` -> ``compand 0.02,0.05 -60,-60,-30,-10,-20,-8,-5,-8,
+    -2,-8 -8 -7 0.05`` -> ``rate 8000`` -> GSM codec round trip.
+    Like the reference, the output stays at 8 kHz (the canonical
+    pipeline pads it to 64_600 at 8 kHz afterwards — quirk preserved).
+    """
+    squeeze = waveform.ndim == 2
+    mono = waveform[0] if squeeze else waveform
+    w = lowpass_biquad(mono, sample_rate, 4000.0)
+    w = compand(w, sample_rate)
+    w, sr = resample_wave(w, sample_rate, 8000)
+    w = w.reshape(-1)
+    if codec == "gsm":
+        w = gsm_codec_roundtrip(w, sr)
+    elif codec not in (None, "none"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    out = w[None, :] if squeeze else w
+    return out.astype(np.float32), sr
+
+
 def apply_pad(waveform: np.ndarray, cut: int = WAVE_FAKE_CUT) -> np.ndarray:
     """Repeat-pad/cut to exactly ``cut`` samples
     (PadDataset.apply_pad, base_dataset.py:343-355)."""
@@ -329,11 +469,7 @@ def wavefake_preprocessing(
         waveform, sample_rate = apply_trim(waveform, sample_rate)
 
     if wave_fake_cell_phone:
-        raise NotImplementedError(
-            "phone-call simulation (lowpass+compand+GSM) is off by default "
-            "in the reference (WAVE_FAKE_CELL_PHONE=False, "
-            "base_dataset.py:25) and not provided here"
-        )
+        waveform, sample_rate = process_phone_call(waveform, sample_rate)
 
     if wave_fake_pad:
         waveform = apply_pad(waveform, wave_fake_cut)
@@ -430,10 +566,7 @@ class AudioDataset:
         if self.trim:
             waveform, sample_rate = apply_trim(waveform, sample_rate)
         if self.phone_call:
-            raise NotImplementedError(
-                "phone-call simulation is not provided (off by default in "
-                "the reference, base_dataset.py:25)"
-            )
+            waveform, sample_rate = process_phone_call(waveform, sample_rate)
         return waveform, sample_rate
 
     def __len__(self) -> int:

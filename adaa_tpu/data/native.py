@@ -108,6 +108,28 @@ def sox_silence(
     return out[:kept].copy()
 
 
+def gsm_roundtrip(x: np.ndarray, sample_rate: int) -> Optional[np.ndarray]:
+    """GSM 06.10 encode+decode round trip via the native library;
+    None when the library (or the symbol, for older builds) is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "adaa_gsm_roundtrip"):
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.adaa_gsm_roundtrip.argtypes = [f32p, ctypes.c_int64, f32p]
+    lib.adaa_gsm_roundtrip.restype = ctypes.c_int64
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    # GSM operates on whole 160-sample frames; sox/ffmpeg zero-pad the
+    # final partial frame, so the output is padded up to a multiple
+    n_out = -(-x.size // 160) * 160
+    out = np.zeros(n_out, np.float32)
+    wrote = lib.adaa_gsm_roundtrip(
+        x.ctypes.data_as(f32p), x.size, out.ctypes.data_as(f32p)
+    )
+    if wrote < 0:  # pragma: no cover
+        return None
+    return out[:wrote].copy()
+
+
 def repeat_pad(x: np.ndarray, cut: int) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:

@@ -169,6 +169,346 @@ int64_t adaa_sox_silence(const float* x, int64_t n, float* out,
     return m;
 }
 
+// ---------------------------------------------------------------------------
+// GSM 06.10 full-rate (RPE-LTP) codec round trip — the reference's
+// phone-call simulation ends with torchaudio's apply_codec(format="gsm")
+// (reference src/datasets/base_dataset.py:321). This is an
+// algorithmically faithful implementation of the ETSI 06.10 codec
+// (preemphasis, Schur LPC -> LAR quantization, lattice short-term
+// filtering, long-term predictor with 2-bit gain, RPE grid selection
+// and 3-bit APCM with the spec's quantization tables) using a float
+// signal path with the spec's integer quantizers — not a bit-exact
+// clone of libgsm, but the same codec structure and quantization
+// grids, which is what shapes the audio for data augmentation.
+// ---------------------------------------------------------------------------
+
+namespace gsm0610 {
+
+// LAR quantization (spec table 4.1, natural units)
+static const double A_[8] = {20.0, 20.0, 20.0, 20.0, 13.637, 15.0, 8.334, 8.824};
+static const double B_[8] = {0.0, 0.0, 4.0, -5.0, 0.184, -3.5, -0.666, -2.235};
+static const int MIC[8] = {-32, -32, -16, -16, -8, -8, -4, -4};
+static const int MAC[8] = {31, 31, 15, 15, 7, 7, 3, 3};
+// LTP gain decision/quantization levels (DLB/QLB, /32768)
+static const double DLB[3] = {0.2, 0.5, 0.8};
+static const double QLB[4] = {0.10, 0.35, 0.65, 1.000030517578125};
+// RPE weighting filter (H/8192)
+static const double H_[11] = {-134 / 8192.0, -374 / 8192.0, 0.0, 2054 / 8192.0,
+                              5741 / 8192.0, 8192 / 8192.0, 5741 / 8192.0,
+                              2054 / 8192.0, 0.0, -374 / 8192.0, -134 / 8192.0};
+// APCM mantissa normalization tables
+static const int NRFAC[8] = {29128, 26215, 23832, 21846, 20165, 18725, 17476, 16384};
+static const int FAC[8] = {18431, 20479, 22527, 24575, 26623, 28671, 30719, 32767};
+
+struct Codes {
+    int LARc[8];
+    int Nc[4], bc[4], Mc[4], xmaxc[4], xMc[4][13];
+};
+
+struct EncState {
+    double z = 0.0, L_z2 = 0.0;   // offset compensation state
+    double mp = 0.0;              // preemphasis memory
+    double u[8] = {0};            // analysis lattice
+    double LARpp_prev[8] = {0};
+    double dp[120 + 160] = {0};   // reconstructed short-term residual
+};
+
+struct DecState {
+    double v[9] = {0};            // synthesis lattice
+    double LARpp_prev[8] = {0};
+    double drp[120 + 160] = {0};
+    double msr = 0.0;             // deemphasis memory
+};
+
+static inline int nint(double z) {
+    return (int)(z >= 0 ? z + 0.5 : z - 0.5);
+}
+
+// LAR <-> reflection coefficient piecewise maps (spec 4.2.5 / 4.2.9.1)
+static inline double r_to_lar(double r) {
+    double a = std::fabs(r), s = r < 0 ? -1.0 : 1.0;
+    if (a < 0.675) return r;
+    if (a < 0.950) return s * (2.0 * a - 0.675);
+    return s * (8.0 * a - 6.375);
+}
+static inline double lar_to_r(double lar) {
+    double a = std::fabs(lar), s = lar < 0 ? -1.0 : 1.0;
+    if (a < 0.675) return lar;
+    if (a < 1.225) return s * (0.5 * a + 0.3375);
+    return s * (0.125 * a + 0.796875);
+}
+
+// decoded xmaxc -> (exp, mant) of the dequantized block maximum
+static inline void xmaxc_exp_mant(int xmaxc, int* exp_out, int* mant_out) {
+    int exp = 0;
+    if (xmaxc > 15) exp = (xmaxc >> 3) - 1;
+    int mant = xmaxc - (exp << 3);
+    if (mant == 0) {
+        exp = -4;
+        mant = 7;
+    } else {
+        while (mant <= 7) {
+            mant = (mant << 1) | 1;
+            exp--;
+        }
+        mant -= 8;
+    }
+    *exp_out = exp;
+    *mant_out = mant;
+}
+
+// dequantized RPE pulse value for 3-bit code xmc given xmaxc exp/mant
+static inline double apcm_dequant(int xmc, int exp, int mant) {
+    // ((2*xmc - 7) << 12) * FAC[mant]/32768 >> (6 - exp)
+    return (2.0 * xmc - 7.0) * 4096.0 * (FAC[mant] / 32768.0) *
+           std::pow(2.0, exp - 6.0);
+}
+
+// per-subframe LAR interpolation factors (spec 4.2.9.1)
+static inline void interp_lars(const double* prev, const double* cur, int j,
+                               double rp[8]) {
+    double wp, wc;
+    switch (j) {
+        case 0: wp = 0.75, wc = 0.25; break;
+        case 1: wp = 0.50, wc = 0.50; break;
+        case 2: wp = 0.25, wc = 0.75; break;
+        default: wp = 0.0, wc = 1.0; break;
+    }
+    for (int i = 0; i < 8; ++i) {
+        double lar = wp * prev[i] + wc * cur[i];
+        rp[i] = lar_to_r(lar);
+    }
+}
+
+// encode + immediately decode one 160-sample frame (int16-domain doubles)
+static void frame_roundtrip(EncState* es, DecState* ds, const double* sin160,
+                            double* out160) {
+    // -- preprocessing: offset compensation + preemphasis (spec 4.2.1-2)
+    double s[160];
+    for (int k = 0; k < 160; ++k) {
+        double s1 = sin160[k] - es->z;
+        es->z = sin160[k];
+        double sof = s1 + (32735.0 / 32768.0) * es->L_z2;
+        es->L_z2 = sof;
+        s[k] = sof - (28180.0 / 32768.0) * es->mp;
+        es->mp = sof;
+    }
+
+    // -- LPC: autocorrelation + Schur recursion (spec 4.2.4-5)
+    double acf[9];
+    for (int i = 0; i <= 8; ++i) {
+        double sum = 0.0;
+        for (int k = i; k < 160; ++k) sum += s[k] * s[k - i];
+        acf[i] = sum;
+    }
+    double r[8] = {0};
+    if (acf[0] > 0.0) {
+        double P[9], K[9];
+        for (int i = 0; i <= 8; ++i) P[i] = acf[i];
+        for (int i = 1; i <= 8; ++i) K[i] = acf[i];
+        // Schur: iteratively extract reflection coefficients
+        double p0 = P[0];
+        double pp[9], kk[9];
+        for (int i = 0; i <= 8; ++i) pp[i] = P[i];
+        for (int i = 1; i <= 8; ++i) kk[i] = K[i];
+        for (int n = 0; n < 8; ++n) {
+            if (pp[0] <= 0.0) { for (int m = n; m < 8; ++m) r[m] = 0.0; break; }
+            double rn = -pp[1] / pp[0];
+            if (rn > 1.0) rn = 1.0;
+            if (rn < -1.0) rn = -1.0;
+            r[n] = rn;
+            if (n == 7) break;
+            // Schur update
+            double np[9], nk[9];
+            np[0] = pp[0] + pp[1] * rn;
+            for (int m = 1; m <= 7 - n; ++m) {
+                np[m] = pp[m + 1] + kk[m] * rn;
+                nk[m] = kk[m] + pp[m + 1] * rn;
+            }
+            for (int m = 0; m <= 7 - n; ++m) pp[m] = np[m];
+            for (int m = 1; m <= 7 - n; ++m) kk[m] = nk[m];
+        }
+        (void)p0;
+    }
+
+    // -- LAR quantization (spec 4.2.6-7)
+    Codes c;
+    double LARpp[8];
+    for (int i = 0; i < 8; ++i) {
+        double lar = r_to_lar(r[i]);
+        int larc = nint(A_[i] * lar + B_[i]);
+        if (larc < MIC[i]) larc = MIC[i];
+        if (larc > MAC[i]) larc = MAC[i];
+        c.LARc[i] = larc;
+        LARpp[i] = (larc - B_[i]) / A_[i];  // decoded LAR (spec 4.2.8)
+    }
+
+    // -- short-term analysis + LTP/RPE per subframe
+    double d[160];
+    for (int j = 0; j < 4; ++j) {
+        double rp[8];
+        interp_lars(es->LARpp_prev, LARpp, j, rp);
+        for (int k = 40 * j; k < 40 * (j + 1); ++k) {
+            double di = s[k], sav = di;
+            for (int i = 0; i < 8; ++i) {
+                double temp = es->u[i] + rp[i] * di;
+                di = di + rp[i] * es->u[i];
+                es->u[i] = sav;
+                sav = temp;
+            }
+            d[k] = di;
+        }
+
+        double* dsub = d + 40 * j;
+        double* dp = es->dp + 120 + 40 * j;  // current subframe position
+
+        // LTP: lag search over reconstructed residual history (4.2.11)
+        int Nc = 40;
+        double best = -1.0;
+        for (int lam = 40; lam <= 120; ++lam) {
+            double corr = 0.0;
+            for (int k = 0; k < 40; ++k) corr += dsub[k] * dp[k - lam];
+            if (corr > best) { best = corr; Nc = lam; }
+        }
+        double power = 0.0;
+        for (int k = 0; k < 40; ++k) power += dp[k - Nc] * dp[k - Nc];
+        double b = (power > 0.0 && best > 0.0) ? best / power : 0.0;
+        int bc = 0;
+        while (bc < 3 && b > DLB[bc]) ++bc;
+        double bp = QLB[bc];
+        c.Nc[j] = Nc;
+        c.bc[j] = bc;
+
+        // short-term residual minus LTP estimate (4.2.12)
+        double e[40];
+        for (int k = 0; k < 40; ++k) e[k] = dsub[k] - bp * dp[k - Nc];
+
+        // RPE: weighting filter + grid decimation (4.2.13-14)
+        double x[40];
+        for (int k = 0; k < 40; ++k) {
+            double sum = 0.0;
+            for (int i = 0; i < 11; ++i) {
+                int idx = k + 5 - i;
+                if (idx >= 0 && idx < 40) sum += H_[i] * e[idx];
+            }
+            x[k] = sum;
+        }
+        int Mc = 0;
+        double em = -1.0;
+        for (int m = 0; m < 4; ++m) {
+            double energy = 0.0;
+            for (int i = 0; i < 13; ++i) {
+                double v = x[m + 3 * i];
+                energy += v * v;
+            }
+            if (energy > em) { em = energy; Mc = m; }
+        }
+        c.Mc[j] = Mc;
+        double xM[13];
+        for (int i = 0; i < 13; ++i) xM[i] = x[Mc + 3 * i];
+
+        // APCM quantization of the 13 pulses (4.2.15, integer quantizers)
+        double xmax = 0.0;
+        for (int i = 0; i < 13; ++i) xmax = std::max(xmax, std::fabs(xM[i]));
+        int ixmax = (int)std::min(32767.0, std::floor(xmax));
+        int exp = 0, temp = ixmax >> 9, itest = 0;
+        for (int i = 0; i <= 5; ++i) {
+            itest |= (temp <= 0);
+            temp >>= 1;
+            if (!itest) ++exp;
+        }
+        int xmaxc = (ixmax >> (exp + 5)) + (exp << 3);
+        if (xmaxc > 63) xmaxc = 63;
+        c.xmaxc[j] = xmaxc;
+        int dexp, dmant;
+        xmaxc_exp_mant(xmaxc, &dexp, &dmant);
+        for (int i = 0; i < 13; ++i) {
+            // temp = (xM << (6-dexp)) * NRFAC[mant] >> 15 >> 12, + 4
+            double t = xM[i] * std::pow(2.0, 6 - dexp) *
+                       (NRFAC[dmant] / 32768.0) / 4096.0;
+            int xmc = (int)std::floor(t) + 4;
+            if (xmc < 0) xmc = 0;
+            if (xmc > 7) xmc = 7;
+            c.xMc[j][i] = xmc;
+        }
+
+        // local decoding: reconstruct residual, update encoder history
+        double ep[40] = {0};
+        for (int i = 0; i < 13; ++i)
+            ep[Mc + 3 * i] = apcm_dequant(c.xMc[j][i], dexp, dmant);
+        for (int k = 0; k < 40; ++k) dp[k] = ep[k] + bp * dp[k - Nc];
+    }
+    es->LARpp_prev[0] = LARpp[0];
+    for (int i = 0; i < 8; ++i) es->LARpp_prev[i] = LARpp[i];
+    // shift encoder residual history left by one frame
+    std::memmove(es->dp, es->dp + 160, 120 * sizeof(double));
+
+    // ----------------- DECODER -----------------
+    double LARpp_d[8];
+    for (int i = 0; i < 8; ++i) LARpp_d[i] = (c.LARc[i] - B_[i]) / A_[i];
+
+    double wt[160];
+    for (int j = 0; j < 4; ++j) {
+        double* drp = ds->drp + 120 + 40 * j;
+        int dexp, dmant;
+        xmaxc_exp_mant(c.xmaxc[j], &dexp, &dmant);
+        double erp[40] = {0};
+        for (int i = 0; i < 13; ++i)
+            erp[c.Mc[j] + 3 * i] = apcm_dequant(c.xMc[j][i], dexp, dmant);
+        double bp = QLB[c.bc[j]];
+        for (int k = 0; k < 40; ++k)
+            drp[k] = erp[k] + bp * drp[k - c.Nc[j]];
+        for (int k = 0; k < 40; ++k) wt[40 * j + k] = drp[k];
+    }
+    std::memmove(ds->drp, ds->drp + 160, 120 * sizeof(double));
+
+    for (int j = 0; j < 4; ++j) {
+        double rrp[8];
+        interp_lars(ds->LARpp_prev, LARpp_d, j, rrp);
+        for (int k = 40 * j; k < 40 * (j + 1); ++k) {
+            double sri = wt[k];
+            for (int i = 0; i < 8; ++i) {
+                sri = sri - rrp[7 - i] * ds->v[7 - i];
+                ds->v[8 - i] = ds->v[7 - i] + rrp[7 - i] * sri;
+            }
+            ds->v[0] = sri;
+            // deemphasis (4.3.5)
+            double sr = sri + (28180.0 / 32768.0) * ds->msr;
+            ds->msr = sr;
+            out160[k] = sr;
+        }
+    }
+    for (int i = 0; i < 8; ++i) ds->LARpp_prev[i] = LARpp_d[i];
+}
+
+}  // namespace gsm0610
+
+// Encode+decode `n` float samples ([-1,1]) through GSM 06.10; the final
+// partial frame is zero-padded (out must have capacity ceil(n/160)*160).
+// Returns the number of output samples written, or -1 on error.
+int64_t adaa_gsm_roundtrip(const float* x, int64_t n, float* out) {
+    if (n <= 0) return 0;
+    gsm0610::EncState es;
+    gsm0610::DecState ds;
+    int64_t frames = (n + 159) / 160;
+    double in160[160], out160[160];
+    for (int64_t f = 0; f < frames; ++f) {
+        for (int k = 0; k < 160; ++k) {
+            int64_t idx = f * 160 + k;
+            double v = idx < n ? (double)x[idx] : 0.0;
+            // int16 domain like the spec (sample scaling)
+            in160[k] = std::max(-32768.0, std::min(32767.0, v * 32768.0));
+        }
+        gsm0610::frame_roundtrip(&es, &ds, in160, out160);
+        for (int k = 0; k < 160; ++k) {
+            double v = out160[k] / 32768.0;
+            out[f * 160 + k] =
+                (float)std::max(-1.0, std::min(32767.0 / 32768.0, v));
+        }
+    }
+    return frames * 160;
+}
+
 // Repeat-pad / cut to exactly `cut` samples (PadDataset.apply_pad).
 void adaa_repeat_pad(const float* in, int64_t n, float* out, int64_t cut) {
     if (n >= cut) {

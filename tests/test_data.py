@@ -322,3 +322,76 @@ class TestAudioAndPadDatasets:
             AudioDataset(empty)
         with pytest.raises(TypeError):
             AudioDataset(12345)
+
+
+class TestPhoneCall:
+    """Phone-call simulation (reference base_dataset.py:303-322):
+    lowpass 4000 -> compand -> rate 8000 -> (GSM, gated)."""
+
+    def test_lowpass_minus3db_at_cutoff(self):
+        sr, f = 16000, 4000.0
+        t = np.arange(4 * sr) / sr
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)
+        y = dsp.lowpass_biquad(x, sr, f)
+        # steady-state RMS ratio at the cutoff ~ 1/sqrt(2) (Butterworth)
+        ratio = np.sqrt(np.mean(y[sr:] ** 2) / np.mean(x[sr:] ** 2))
+        assert ratio == pytest.approx(1 / np.sqrt(2), rel=0.02)
+
+    def test_lowpass_passband_flat_stopband_falls(self):
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        low = np.sin(2 * np.pi * 500 * t).astype(np.float32)
+        high = np.sin(2 * np.pi * 7500 * t).astype(np.float32)
+        g_low = np.abs(dsp.lowpass_biquad(low, sr, 4000)[sr:]).max()
+        g_high = np.abs(dsp.lowpass_biquad(high, sr, 4000)[sr:]).max()
+        assert g_low == pytest.approx(1.0, rel=0.02)
+        assert g_high < 0.15  # ~ -24 dB/oct beyond cutoff
+
+    def test_compand_steady_state_gain_from_transfer_curve(self):
+        # constant |x| = 0.1 = -20 dBFS; curve point (-20,-8) plus the
+        # -8 dB makeup gain -> out -16 dB -> gain = 10^(4/20)
+        sr = 16000
+        x = np.full(3 * sr, 0.1, np.float32)
+        y = dsp.compand(x, sr)
+        expected = 0.1 * 10 ** (4.0 / 20.0)
+        assert y.shape == x.shape  # delay buffer flushed at EOF
+        np.testing.assert_allclose(y[-sr:], expected, rtol=1e-3)
+
+    def test_compand_full_scale_hits_appended_zero_point(self):
+        # sox appends (0,0): at |x| = 1.0 the output gain is just the
+        # -8 dB makeup gain
+        sr = 16000
+        x = np.ones(2 * sr, np.float32)
+        y = dsp.compand(x, sr)
+        np.testing.assert_allclose(y[-sr:], 10 ** (-8.0 / 20.0), rtol=1e-3)
+
+    def test_compand_quiet_slope_one_extension(self):
+        # below the first point (-60,-60): constant gain out1-in1 = 0 dB
+        # then the -8 dB makeup -> gain = 10^(-8/20)
+        sr = 16000
+        x = np.full(2 * sr, 10 ** (-70 / 20.0), np.float32)
+        y = dsp.compand(x, sr)
+        np.testing.assert_allclose(
+            y[-sr:], x[-sr:] * 10 ** (-8.0 / 20.0), rtol=1e-3
+        )
+
+    def test_process_phone_call_resamples_to_8k(self):
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)[None, :]
+        out, out_sr = dsp.process_phone_call(x, sr, codec=None)
+        assert out_sr == 8000
+        assert out.shape[-1] == sr // 2
+        assert np.abs(out).max() <= 1.0
+
+    def test_preprocessing_cell_phone_path_runs(self):
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None, :]
+        out, out_sr = dsp.wavefake_preprocessing(
+            x, sr, wave_fake_cell_phone=True, wave_fake_trim=False,
+            wave_fake_cut=16000,
+        )
+        # quirk preserved: output stays at 8 kHz, padded to cut
+        assert out_sr == 8000
+        assert out.shape == (16000,)

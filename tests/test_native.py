@@ -56,3 +56,34 @@ def test_sox_silence_native_matches_python_twin():
         nat = native.sox_silence(x, sr)
         py = base._sox_silence_py(x, sr, 1, 0.2, 0.01, -1, 0.2, 0.01)
         np.testing.assert_array_equal(nat, py)
+
+
+def test_gsm_roundtrip_properties():
+    """GSM 06.10 round trip: frame padding, zero->zero, unity gain and
+    high correlation on tonal content, lossy (not identity)."""
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 150 * t)
+         + 0.2 * np.sin(2 * np.pi * 450 * t)).astype(np.float32)
+    y = native.gsm_roundtrip(x, sr)
+    assert y.shape[0] == x.shape[0]  # multiple of 160 already
+    corr = np.corrcoef(x, y[: x.shape[0]])[0, 1]
+    assert corr > 0.98
+    gain = np.sqrt(np.mean(y**2) / np.mean(x**2))
+    assert 0.8 < gain < 1.2
+    assert not np.array_equal(x, y)  # lossy codec
+
+    # zero in -> (near) zero out
+    z = native.gsm_roundtrip(np.zeros(400, np.float32), sr)
+    assert z.shape[0] == 480  # padded to frame multiple
+    assert np.abs(z).max() < 1e-3
+
+    # full phone-call pipeline end-to-end with the codec
+    from adaa_tpu.data import base as dsp
+
+    t16 = np.arange(16000) / 16000
+    wave = (0.5 * np.sin(2 * np.pi * 220 * t16)).astype(np.float32)[None, :]
+    out, out_sr = dsp.process_phone_call(wave, 16000)
+    assert out_sr == 8000
+    assert out.shape[-1] >= 8000
+    assert 0.0 < np.abs(out).max() <= 1.0
