@@ -64,6 +64,151 @@ def test_sharded_attack_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_lcnn_pgd10_sharded_matches_single_device():
+    """VERDICT item 6: the REAL flagship model (LCNN+LFCC) under the
+    registry PGD-10 attack must produce identical adversarial audio on
+    1 device and on the 8-device mesh."""
+    from adaa_tpu import attacks as attacks_lib
+    from adaa_tpu import models
+
+    wave_len = 8_000
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=wave_len
+    )
+    builder, params = attacks_lib.ATTACK_REGISTRY["PGD"]
+
+    def attack_batch(variables, x, y, key):
+        logits_fn = lambda xx: module.apply(variables, xx, train=False)
+        atk = builder(logits_fn, **params)
+        x01, mn, mx = attack_core.to_minmax(x)
+        return attack_core.revert_minmax(atk(x01, y, key), mn, mx)
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((16, wave_len)) * 0.1).astype(np.float32)
+    y = (rng.random(16) > 0.5).astype(np.int32)
+    key = jax.random.PRNGKey(7)
+
+    ref = np.asarray(
+        jax.jit(attack_batch)(variables, jnp.asarray(x), jnp.asarray(y), key)
+    )
+    mesh = make_mesh(8)
+    dp = data_parallel_attack_fn(attack_batch, mesh)
+    out = np.asarray(
+        dp(replicate(variables, mesh), shard_batch(mesh, x),
+           shard_batch(mesh, y), key)
+    )
+    # sign(grad) can flip on coordinates where the f32 gradient is ~0
+    # and the sharded reduction order differs; require >=99%
+    # coordinate-exact with every deviation bounded by the PGD
+    # step-size scale (same criterion as the torch cross-framework
+    # parity test, tests/test_torch_parity.py)
+    diff = np.abs(out - ref)
+    exact = (diff <= 1e-6).mean()
+    assert exact >= 0.99, f"only {exact:.2%} coordinate-exact"
+    assert diff.max() <= 2e-3  # bounded by O(alpha * minmax scale)
+    assert not np.allclose(out, x)  # the attack actually perturbed
+
+
+@pytest.mark.slow
+def test_lcnn_train_step_sharded_matches_single_device():
+    """One LCNN train_step (fwd+bwd+Adam+batch-stats) must yield the
+    same loss and updated parameters on 1 device and on the 8-mesh."""
+    from adaa_tpu import models
+    from adaa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from adaa_tpu.training import train_state as ts
+    from adaa_tpu.training.gd_trainer import train_step
+
+    wave_len = 8_000
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=wave_len
+    )
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((16, wave_len)) * 0.1).astype(np.float32)
+    y = (rng.random(16) > 0.5).astype(np.int32)
+    dk = jax.random.PRNGKey(3)
+
+    # train_step donates its state and the donated buffers alias the
+    # shared `variables`: materialize both states (with copies) first
+    mesh = make_mesh(8)
+    state1 = ts.create_train_state(module, variables, {"lr": 1e-4})
+    state1 = jax.tree_util.tree_map(jnp.array, state1)
+    state8 = ts.create_train_state(module, variables, {"lr": 1e-4})
+    state8 = replicate(state8, mesh)
+
+    state1, loss1, correct1 = train_step(
+        state1, jnp.asarray(x), jnp.asarray(y), dk
+    )
+    state8, loss8, correct8 = train_step(
+        state8, shard_batch(mesh, x), shard_batch(mesh, y), dk
+    )
+
+    assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
+    assert int(correct1) == int(correct8)
+    # the first Adam step is ~ lr*sign(grad): coordinates whose f32
+    # gradient is reduction-order-noise-small can flip sign between the
+    # sharded and unsharded all-reduce, moving the param by up to 2*lr
+    # — require >=99.5% of coordinates tight and every outlier bounded
+    # by that 2*lr scale (same criterion as the PGD test above)
+    lr = 1e-4
+    diffs = []
+    for group1, group8 in (
+        (state1.params, state8.params),
+        (state1.batch_stats, state8.batch_stats),
+    ):
+        for a, b in zip(jax.tree_util.tree_leaves(group1),
+                        jax.tree_util.tree_leaves(group8)):
+            diff = np.abs(np.asarray(a) - np.asarray(b)).ravel()
+            assert diff.max() <= 2.5 * lr  # bounded by the sign-flip scale
+            diffs.append(diff)
+    alldiff = np.concatenate(diffs)
+    tight = (alldiff <= 1e-5).mean()
+    assert tight >= 0.99, f"only {tight:.2%} of coordinates tight"
+
+
+def test_evaluate_nn_sharded_equals_unsharded():
+    """Sharded evaluate_nn (batch divisible by the 8 devices) must
+    report identical metrics to the unsharded path over the same
+    dataset (metrics are set-level, order-invariant)."""
+    from adaa_tpu.eval.evaluation import evaluate_nn
+
+    class Probe:
+        def apply(self, variables, x, train=False):
+            return (x[:, :16].mean(axis=1) * 4.0)[:, None]
+
+    class DS:
+        def __init__(self, n):
+            rng = np.random.default_rng(0)
+            self.items = [
+                (np.full(64, (1.0 if i % 2 else -1.0) * rng.uniform(0.2, 1),
+                         np.float32), 16000, i % 2)
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    sharded = evaluate_nn(Probe(), {}, DS(48), batch_size=16)   # 16 % 8 == 0
+    unsharded = evaluate_nn(Probe(), {}, DS(48), batch_size=12)  # 12 % 8 != 0
+    assert sharded == unsharded
+
+
+def test_initialize_multihost_noop_without_coordinator(monkeypatch):
+    from adaa_tpu.parallel.mesh import initialize_multihost
+
+    monkeypatch.delenv("ADAA_COORDINATOR", raising=False)
+    assert initialize_multihost() == 1
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 
