@@ -23,12 +23,20 @@ import jax.numpy as jnp
 from adaa_tpu.attacks import core
 from adaa_tpu.attacks.fab_projections import (
     projection_l1,
-    projection_l2,
-    projection_linf,
+    projection_l2_bisect,
+    projection_linf_bisect,
 )
 
 _DEFAULT_EPS = {"Linf": 0.3, "L2": 1.0, "L1": 5.0}
-_PROJ = {"Linf": projection_linf, "L2": projection_l2, "L1": projection_l1}
+# Linf/L2 use the bisection fast paths (no O(D log^2 D) sort per step;
+# equivalence to the sort-based closed forms is pinned in
+# tests/test_fab_projections.py). L1's support selection is inherently
+# order-based, so it keeps the sorted form.
+_PROJ = {
+    "Linf": projection_linf_bisect,
+    "L2": projection_l2_bisect,
+    "L1": projection_l1,
+}
 _NORM_ORD = {"Linf": "linf", "L2": "l2", "L1": "l1"}
 
 

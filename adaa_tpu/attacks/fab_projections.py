@@ -25,6 +25,89 @@ def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(a, idx, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Bisection projections (TPU fast path)
+#
+# The sort-based closed forms below are exact but pay a bitonic sort over
+# D = 64600 columns every FAB step — the dominant cost of the attack on TPU.
+# The same optima have a one-dimensional monotone characterisation: after
+# sign-normalising w so the constraint reads  w·d <= c  (c <= 0), the
+# minimal-norm solution moves every coordinate in direction -sign(w_i) by
+#   Linf:  min(lam, p_i)              (p_i = box wall distance)
+#   L2:    w_i-proportional, clipped:  |w_i| * min(alpha, p_i/|w_i|)
+# and the reach  g(lam) = sum_i |w_i| * min(lam, p_i)  is concave increasing,
+# so the optimal radius is found by bisection — O(iters * B * D) fused
+# elementwise work instead of an O(D log^2 D) sort. Verified exactly
+# equivalent to the sort-based forms in tests/test_fab_projections.py.
+# ---------------------------------------------------------------------------
+
+
+def projection_linf_bisect(
+    t: jax.Array, w: jax.Array, b: jax.Array, iters: int = 30
+) -> jax.Array:
+    sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0
+    w = w * sign[:, None]
+    need = (w * t).sum(1) - b * sign  # = -c >= 0: required sum |w| min(lam,p)
+
+    nz = (w != 0).astype(t.dtype)
+    aw = jnp.abs(w)
+    p = jnp.where(w > 0, t, 1.0 - t)  # wall distance along -sign(w_i)
+    awp = aw * p * nz
+    total = awp.sum(1)
+    reachable = total >= need
+
+    lo = jnp.zeros_like(need)
+    hi = jnp.ones_like(need)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        g = (jnp.minimum(aw * mid[:, None], awp)).sum(1)
+        ok = g >= need
+        hi = jnp.where(ok, mid, hi)
+        lo = jnp.where(ok, lo, mid)
+    lam = hi[:, None]  # >= lam*: constraint satisfied, overshoot < 2^-iters
+
+    d = -jnp.sign(w) * jnp.where(reachable[:, None], jnp.minimum(lam, p), p)
+    return d * nz
+
+
+def projection_l2_bisect(
+    t: jax.Array, w: jax.Array, b: jax.Array, iters: int = 40
+) -> jax.Array:
+    sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0
+    w = w * sign[:, None]
+    need = (w * t).sum(1) - b * sign
+
+    nz = (jnp.abs(w) > 1e-8).astype(t.dtype)
+    p = jnp.where(w > 0, t, 1.0 - t)
+    w2 = w * w * nz
+    wp = jnp.abs(w) * p * nz  # |w_i| * p_i = w_i^2 * r_i
+    total = wp.sum(1)
+    reachable = total >= need
+
+    # g(alpha) = sum_i min(alpha * w_i^2, |w_i| p_i); alpha* can span many
+    # orders of magnitude (r_i up to p/|w| with tiny w), so bisect in log
+    # space between the unclipped lower bound and the largest breakpoint.
+    w2sum = jnp.maximum(w2.sum(1), 1e-30)
+    lo = jnp.log(jnp.maximum(need, 1e-30) / w2sum)
+    hi = jnp.log(
+        jnp.maximum(jnp.max(jnp.where(nz > 0, p / jnp.maximum(jnp.abs(w), 1e-30), 0.0), axis=1), 1e-30)
+    )
+    hi = jnp.maximum(hi, lo + 1e-6)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        alpha = jnp.exp(mid)[:, None]
+        g = jnp.minimum(alpha * w2, wp).sum(1)
+        ok = g >= need
+        hi = jnp.where(ok, mid, hi)
+        lo = jnp.where(ok, lo, mid)
+    alpha = jnp.exp(hi)[:, None]
+
+    d = -jnp.sign(w) * jnp.where(
+        reachable[:, None], jnp.minimum(alpha * jnp.abs(w), p), p
+    )
+    return d * nz
+
+
 def projection_linf(t: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     dim = w.shape[1]
     sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Attack-matrix throughput benchmark on the real TPU chip.
+
+Regenerates BENCH_ATTACKS.json: per-attack compile time, ms/batch and
+examples/sec for the registry attacks used in the acceptance configs.
+Reference hot loops: adversarial_attacks/torchattacks/attacks/*.py.
+
+Usage:
+    python scripts/bench_attacks.py [--attacks FAB PGD ...] [--batch 64]
+
+Sync convention per CLAUDE.md: 4-byte scalar pull (full np.asarray rides
+the ~1 GB/s axon relay; block_until_ready may return early).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+WAVE_LEN = 64_600
+OUT = Path(__file__).resolve().parent.parent / "BENCH_ATTACKS.json"
+
+DEFAULT_ATTACKS = [
+    "FGSM", "PGD", "PGDL2", "BIM", "MIFGSM", "DeepFool", "APGDT",
+    "CW", "Square", "FAB",
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--attacks", nargs="*", default=DEFAULT_ATTACKS)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--no-merge", action="store_true",
+                        help="overwrite BENCH_ATTACKS.json instead of merging")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(OUT.parent / ".jax_cache"))
+
+    from adaa_tpu import models
+    from adaa_tpu.attacks import ATTACK_REGISTRY, core as attack_core
+
+    cfg = {"input_channels": 1, "frontend_algorithm": ["lfcc"],
+           "compute_dtype": "bfloat16"}
+    module = models.get_model("lcnn", cfg)
+    variables = models.init_model(module, jax.random.PRNGKey(0),
+                                  wave_length=WAVE_LEN)
+    logits_fn = attack_core.make_logits_fn(module, variables)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((args.batch, WAVE_LEN)).astype(np.float32))
+    y = jnp.asarray((np.arange(args.batch) % 2).astype(np.int32))
+
+    results = {}
+    if OUT.exists() and not args.no_merge:
+        results = json.loads(OUT.read_text())
+
+    for name in args.attacks:
+        fn, params = ATTACK_REGISTRY[name]
+        atk = fn(logits_fn, **params)
+
+        @jax.jit
+        def attack_batch(x, y, key, atk=atk):
+            x01, mn, mx = attack_core.to_minmax(x)
+            return attack_core.revert_minmax(atk(x01, y, key), mn, mx)
+
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        out = attack_batch(x, y, key)
+        float(out.ravel()[0])
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            key, k = jax.random.split(key)
+            out = attack_batch(x, y, k)
+        float(out.ravel()[0])
+        dt = time.perf_counter() - t0
+
+        ms = dt / args.iters * 1e3
+        results[name] = {
+            "ms_per_batch64": round(ms, 1),
+            "examples_per_sec": round(args.batch * args.iters / dt, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"{name}: {results[name]}")
+
+    OUT.write_text(json.dumps(results, indent=1))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,39 @@ class TestProjections:
             if _feasible(t[i], w[i], b[i]):
                 assert abs(w[i] @ x_new - b[i]) < 1e-2 * (1 + abs(b[i]))
 
+    def test_linf_bisect_matches_sort(self, rng):
+        # the bisection fast path must agree with the sort-based closed form
+        for D2 in (16, 257, 4096):
+            t = rng.random((B, D2)).astype(np.float32)
+            w = rng.standard_normal((B, D2)).astype(np.float32)
+            b = ((w * t).sum(1) + rng.standard_normal(B) * 0.3).astype(np.float32)
+            # sprinkle exact zeros into w (silent samples produce zero grads)
+            w[rng.random((B, D2)) < 0.05] = 0.0
+            d_ref = np.asarray(fp.projection_linf(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            d_fast = np.asarray(fp.projection_linf_bisect(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            np.testing.assert_allclose(d_fast, d_ref, atol=3e-6, rtol=1e-4)
+
+    def test_l2_bisect_matches_sort(self, rng):
+        for D2 in (16, 257, 4096):
+            t = rng.random((B, D2)).astype(np.float32)
+            w = rng.standard_normal((B, D2)).astype(np.float32)
+            b = ((w * t).sum(1) + rng.standard_normal(B) * 0.3).astype(np.float32)
+            w[rng.random((B, D2)) < 0.05] = 0.0
+            d_ref = np.asarray(fp.projection_l2(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            d_fast = np.asarray(fp.projection_l2_bisect(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            np.testing.assert_allclose(d_fast, d_ref, atol=5e-5, rtol=1e-3)
+
+    def test_bisect_unreachable_saturates(self, rng):
+        # plane far outside the box: both forms must return full saturation
+        t = rng.random((8, 64)).astype(np.float32)
+        w = rng.standard_normal((8, 64)).astype(np.float32)
+        b = ((w * t).sum(1) + 1e4).astype(np.float32)
+        for fast, ref in ((fp.projection_linf_bisect, fp.projection_linf),
+                          (fp.projection_l2_bisect, fp.projection_l2)):
+            d_ref = np.asarray(ref(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            d_fast = np.asarray(fast(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+            np.testing.assert_allclose(d_fast, d_ref, atol=1e-5)
+
     def test_zero_when_on_plane(self, rng):
         t = rng.random((4, D)).astype(np.float32)
         w = rng.standard_normal((4, D)).astype(np.float32)
