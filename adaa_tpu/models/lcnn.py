@@ -20,6 +20,7 @@ features (B, C, n_coeff, T) are also accepted, mirroring BaseLCNN.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -28,6 +29,23 @@ from flax import linen as nn
 
 from adaa_tpu.models import layers
 from adaa_tpu.ops import frontends
+
+
+class _Conv0Params(nn.Module):
+    """Parameter-only twin of the conv0 nn.Conv (same tree: conv0/{kernel,bias}).
+
+    Lets the fused Pallas first block (ops/pallas_layer0.py) consume the
+    exact parameters the XLA path would, so .pth checkpoint import and
+    state dicts are unchanged.
+    """
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", layers.kaiming_uniform_conv, (5, 5, 1, 64)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (64,))
+        return kernel, bias
 
 
 class LCNN(nn.Module):
@@ -81,8 +99,30 @@ class LCNN(nn.Module):
         mfm = layers.max_feature_map
         pool = layers.max_pool_2d
 
-        h = mfm(conv(64, 5, "conv0")(h))
-        h = pool(h)
+        # First block: conv0 5x5 + MFM + pool. On the bf16 trunk at the
+        # canonical frontend shape this runs as one fused Pallas kernel
+        # (ops/pallas_layer0.py) — the XLA schedule materializes ~1 GB of
+        # intermediates here per batch-256 step. ADAA_FUSED_LCNN=0 forces
+        # the XLA path; f32/parity modes always use it.
+        use_fused = (
+            dtype == jnp.bfloat16
+            and prec is None
+            and h.shape[1:] == (404, 80, 1)
+            and os.environ.get("ADAA_FUSED_LCNN") != "0"
+        )
+        if use_fused:
+            from adaa_tpu.ops.pallas_layer0 import fused_conv0_mfm_pool
+
+            kernel, bias = _Conv0Params(name="conv0")()
+            h = fused_conv0_mfm_pool(
+                h[..., 0],
+                kernel,
+                bias,
+                jax.default_backend() == "cpu",
+            )
+        else:
+            h = mfm(conv(64, 5, "conv0")(h))
+            h = pool(h)
         h = mfm(conv(64, 1, "conv3")(h))
         h = bn("bn5")(h, use_running_average=not train)
         h = mfm(conv(96, 3, "conv6")(h))
