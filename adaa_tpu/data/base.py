@@ -58,12 +58,18 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     path = str(path)
     if path.endswith(".wav"):
         return _load_wav(path)
+    if path.endswith(".flac"):
+        from adaa_tpu.data import native as _native
+
+        decoded = _native.flac_decode(path)
+        if decoded is not None:
+            return decoded
     if _soundfile is not None:
         data, sr = _soundfile.read(path, dtype="float32", always_2d=True)
         return data.T.astype(np.float32), int(sr)
     raise RuntimeError(
-        f"Cannot decode {path}: non-wav decode requires the optional "
-        "'soundfile' dependency (not installed)."
+        f"Cannot decode {path}: flac needs the native library "
+        "(make -C native) and mp3 the optional 'soundfile' dependency."
     )
 
 

@@ -130,6 +130,53 @@ def gsm_roundtrip(x: np.ndarray, sample_rate: int) -> Optional[np.ndarray]:
     return out[:wrote].copy()
 
 
+def flac_decode(path_or_bytes) -> Optional[tuple]:
+    """Decode a FLAC file/buffer via the native decoder.
+
+    Returns (float32 (C, T) in [-1, 1], sample_rate) like
+    base.load_audio, or None when the library (or symbol) is absent or
+    the stream cannot be parsed. Reference decode site:
+    src/datasets/base_dataset.py:165 (torchaudio.load on ASVspoof2021-DF
+    flac files).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "adaa_flac_decode"):
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        raw = bytes(path_or_bytes)
+    else:
+        raw = Path(path_or_bytes).read_bytes()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.adaa_flac_decode.argtypes = [
+        u8p, ctypes.c_int64, i32p, ctypes.c_int64, i64p,
+    ]
+    lib.adaa_flac_decode.restype = ctypes.c_int64
+    buf = np.frombuffer(raw, np.uint8)
+    meta = np.zeros(4, np.int64)
+    total = lib.adaa_flac_decode(
+        buf.ctypes.data_as(u8p), buf.size, None, 0,
+        meta.ctypes.data_as(i64p),
+    )
+    if total < 0:
+        return None
+    channels, srate, bps = int(meta[0]), int(meta[1]), int(meta[2])
+    # streams may omit total_samples; fall back to a generous bound
+    cap = int(total) if total > 0 else len(raw) * 4 // max(channels, 1) + 65536
+    out = np.empty(cap * channels, np.int32)
+    n = lib.adaa_flac_decode(
+        buf.ctypes.data_as(u8p), buf.size,
+        out.ctypes.data_as(i32p), out.size,
+        meta.ctypes.data_as(i64p),
+    )
+    if n < 0:
+        return None
+    pcm = out[: n * channels].reshape(-1, channels).T
+    scale = np.float32(1 << (bps - 1))
+    return (pcm.astype(np.float32) / scale, srate)
+
+
 def repeat_pad(x: np.ndarray, cut: int) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:

@@ -14,6 +14,7 @@
 #include <cmath>
 #include <algorithm>
 #include <memory>
+#include <vector>
 
 extern "C" {
 
@@ -510,6 +511,291 @@ int64_t adaa_gsm_roundtrip(const float* x, int64_t n, float* out) {
 }
 
 // Repeat-pad / cut to exactly `cut` samples (PadDataset.apply_pad).
+// ---------------------------------------------------------------------------
+// FLAC decoder (subset sufficient for ASVspoof2021-DF eval corpora:
+// reference decode site src/datasets/base_dataset.py:165 via
+// torchaudio/libsndfile). Supports: 8/12/16/20/24-bit, mono/stereo +
+// left-side/right-side/mid-side decorrelation, CONSTANT / VERBATIM /
+// FIXED(0-4) / LPC subframes, rice & rice2 residual partitions with
+// escape codes, wasted bits. CRCs are parsed but not verified (decode
+// integrity is covered by the round-trip tests in
+// tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+namespace flac {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t bytepos = 0;
+    int bitpos = 0;  // 0..7, MSB first
+    bool error = false;
+
+    uint64_t bits(int n) {
+        uint64_t v = 0;
+        for (int i = 0; i < n; ++i) {
+            if (bytepos >= nbytes) { error = true; return 0; }
+            v = (v << 1) | ((data[bytepos] >> (7 - bitpos)) & 1);
+            if (++bitpos == 8) { bitpos = 0; ++bytepos; }
+        }
+        return v;
+    }
+    int64_t sbits(int n) {
+        uint64_t v = bits(n);
+        if (n > 0 && (v >> (n - 1)) & 1) return (int64_t)v - (1LL << n);
+        return (int64_t)v;
+    }
+    uint32_t unary() {
+        uint32_t q = 0;
+        while (!error && bits(1) == 0) ++q;
+        return q;
+    }
+    void align() { if (bitpos) { bitpos = 0; ++bytepos; } }
+    bool eof() const { return bytepos >= nbytes; }
+};
+
+inline int64_t rice(BitReader& br, int param) {
+    uint64_t q = br.unary();
+    uint64_t v = (q << param) | br.bits(param);
+    return (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+}
+
+// Decode one subframe into x[0..blocksize); bps includes the +1 for
+// side channels. Returns false on parse error.
+inline bool subframe(BitReader& br, int64_t* x, int blocksize, int bps) {
+    if (br.bits(1) != 0) return false;  // padding bit
+    int type = (int)br.bits(6);
+    int wasted = 0;
+    if (br.bits(1)) wasted = 1 + (int)br.unary();
+    bps -= wasted;
+
+    int order = 0;
+    enum { CONST, VERB, FIXED, LPC } kind;
+    if (type == 0) kind = CONST;
+    else if (type == 1) kind = VERB;
+    else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {
+        kind = FIXED; order = type & 7;
+    } else if (type & 0x20) { kind = LPC; order = (type & 0x1f) + 1; }
+    else return false;
+
+    int precision = 0, shift = 0;
+    int64_t coefs[32];
+    if (kind == CONST) {
+        int64_t v = br.sbits(bps);
+        for (int i = 0; i < blocksize; ++i) x[i] = v;
+    } else if (kind == VERB) {
+        for (int i = 0; i < blocksize; ++i) x[i] = br.sbits(bps);
+    } else {
+        for (int i = 0; i < order; ++i) x[i] = br.sbits(bps);
+        if (kind == LPC) {
+            precision = (int)br.bits(4) + 1;
+            if (precision == 16) return false;  // 0b1111 invalid
+            shift = (int)br.sbits(5);
+            if (shift < 0) return false;
+            for (int i = 0; i < order; ++i) coefs[i] = br.sbits(precision);
+        }
+        // residual
+        int method = (int)br.bits(2);
+        if (method > 1) return false;
+        int plen = method == 0 ? 4 : 5;
+        int escape = method == 0 ? 0xF : 0x1F;
+        int porder = (int)br.bits(4);
+        int nparts = 1 << porder;
+        int64_t idx = order;
+        for (int p = 0; p < nparts; ++p) {
+            int64_t cnt = blocksize >> porder;
+            if (p == 0) cnt -= order;
+            if (cnt < 0) return false;
+            int param = (int)br.bits(plen);
+            if (param == escape) {
+                int raw = (int)br.bits(5);
+                for (int64_t i = 0; i < cnt; ++i) x[idx++] = br.sbits(raw);
+            } else {
+                for (int64_t i = 0; i < cnt; ++i) x[idx++] = rice(br, param);
+            }
+        }
+        if (idx != blocksize) return false;
+        // predict
+        if (kind == FIXED) {
+            switch (order) {
+                case 0: break;
+                case 1:
+                    for (int i = 1; i < blocksize; ++i) x[i] += x[i - 1];
+                    break;
+                case 2:
+                    for (int i = 2; i < blocksize; ++i)
+                        x[i] += 2 * x[i - 1] - x[i - 2];
+                    break;
+                case 3:
+                    for (int i = 3; i < blocksize; ++i)
+                        x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+                    break;
+                case 4:
+                    for (int i = 4; i < blocksize; ++i)
+                        x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3]
+                                - x[i - 4];
+                    break;
+            }
+        } else {  // LPC
+            for (int i = order; i < blocksize; ++i) {
+                int64_t acc = 0;
+                for (int j = 0; j < order; ++j)
+                    acc += coefs[j] * x[i - 1 - j];
+                x[i] += acc >> shift;
+            }
+        }
+    }
+    if (wasted)
+        for (int i = 0; i < blocksize; ++i) x[i] <<= wasted;
+    return !br.error;
+}
+
+inline int64_t utf8_number(BitReader& br) {
+    uint64_t b0 = br.bits(8);
+    int extra = 0;
+    uint64_t v;
+    if ((b0 & 0x80) == 0) return (int64_t)b0;
+    else if ((b0 & 0xE0) == 0xC0) { v = b0 & 0x1F; extra = 1; }
+    else if ((b0 & 0xF0) == 0xE0) { v = b0 & 0x0F; extra = 2; }
+    else if ((b0 & 0xF8) == 0xF0) { v = b0 & 0x07; extra = 3; }
+    else if ((b0 & 0xFC) == 0xF8) { v = b0 & 0x03; extra = 4; }
+    else if ((b0 & 0xFE) == 0xFC) { v = b0 & 0x01; extra = 5; }
+    else if (b0 == 0xFE) { v = 0; extra = 6; }
+    else return -1;
+    for (int i = 0; i < extra; ++i) v = (v << 6) | (br.bits(8) & 0x3F);
+    return (int64_t)v;
+}
+
+}  // namespace flac
+
+// Decode a FLAC stream. out receives interleaved int32 samples (already
+// shifted so full scale is the stream's bps); meta receives
+// {channels, sample_rate, bps, total_samples_per_channel}. Pass
+// out == nullptr to only read STREAMINFO. Returns samples decoded per
+// channel, or -1 on error.
+int64_t adaa_flac_decode(const uint8_t* data, int64_t nbytes,
+                         int32_t* out, int64_t out_capacity,
+                         int64_t* meta) {
+    using namespace flac;
+    if (nbytes < 42 || memcmp(data, "fLaC", 4) != 0) return -1;
+    BitReader br{data, nbytes};
+    br.bytepos = 4;
+    int channels = 0, bps = 0;
+    int64_t srate = 0, total = 0;
+    bool have_info = false;
+    // metadata blocks
+    for (;;) {
+        int last = (int)br.bits(1);
+        int type = (int)br.bits(7);
+        int64_t len = (int64_t)br.bits(24);
+        if (br.error) return -1;
+        if (type == 0 && len >= 34) {
+            br.bits(16); br.bits(16);  // min/max blocksize
+            br.bits(24); br.bits(24);  // min/max framesize
+            srate = (int64_t)br.bits(20);
+            channels = (int)br.bits(3) + 1;
+            bps = (int)br.bits(5) + 1;
+            total = (int64_t)br.bits(36);
+            br.bytepos += len - 18;  // skip md5 + any extension
+            have_info = true;
+        } else {
+            br.bytepos += len;
+        }
+        if (last) break;
+        if (br.eof()) return -1;
+    }
+    if (!have_info || channels < 1 || channels > 8) return -1;
+    if (meta) {
+        meta[0] = channels; meta[1] = srate; meta[2] = bps; meta[3] = total;
+    }
+    if (!out) return total;
+
+    std::vector<int64_t> ch0, ch1;
+    int64_t written = 0;  // per channel
+    while (!br.eof() && !br.error) {
+        if (total > 0 && written >= total) break;
+        // frame header
+        if (br.bits(14) != 0x3FFE) break;  // sync (also EOF padding)
+        br.bits(1);  // reserved
+        br.bits(1);  // blocking strategy
+        int bs_code = (int)br.bits(4);
+        int sr_code = (int)br.bits(4);
+        int ch_code = (int)br.bits(4);
+        int ss_code = (int)br.bits(3);
+        br.bits(1);  // reserved
+        if (utf8_number(br) < 0) return -1;
+        int blocksize;
+        if (bs_code == 1) blocksize = 192;
+        else if (bs_code >= 2 && bs_code <= 5) blocksize = 576 << (bs_code - 2);
+        else if (bs_code == 6) blocksize = (int)br.bits(8) + 1;
+        else if (bs_code == 7) blocksize = (int)br.bits(16) + 1;
+        else if (bs_code >= 8) blocksize = 256 << (bs_code - 8);
+        else return -1;
+        if (sr_code == 12) br.bits(8);
+        else if (sr_code == 13 || sr_code == 14) br.bits(16);
+        int fbps = bps;
+        switch (ss_code) {
+            case 0: break;
+            case 1: fbps = 8; break;
+            case 2: fbps = 12; break;
+            case 4: fbps = 16; break;
+            case 5: fbps = 20; break;
+            case 6: fbps = 24; break;
+            case 7: fbps = 32; break;
+            default: return -1;
+        }
+        br.bits(8);  // header CRC-8 (unverified)
+
+        int nch = channels;
+        int decor = 0;  // 0 none, 1 left/side, 2 right/side, 3 mid/side
+        if (ch_code <= 7) nch = ch_code + 1;
+        else if (ch_code == 8) { nch = 2; decor = 1; }
+        else if (ch_code == 9) { nch = 2; decor = 2; }
+        else if (ch_code == 10) { nch = 2; decor = 3; }
+        else return -1;
+        if (nch != channels) return -1;
+
+        ch0.assign(blocksize, 0);
+        if (nch == 2) ch1.assign(blocksize, 0);
+        for (int c = 0; c < nch; ++c) {
+            int sb_bps = fbps;
+            if ((decor == 1 && c == 1) || (decor == 2 && c == 0) ||
+                (decor == 3 && c == 1))
+                sb_bps += 1;  // side channel
+            if (!subframe(br, c == 0 ? ch0.data() : ch1.data(), blocksize,
+                          sb_bps))
+                return -1;
+        }
+        br.align();
+        br.bits(16);  // frame CRC-16 (unverified)
+        if (br.error) return -1;
+
+        // undo stereo decorrelation
+        if (decor == 1) {  // left/side: right = left - side
+            for (int i = 0; i < blocksize; ++i) ch1[i] = ch0[i] - ch1[i];
+        } else if (decor == 2) {  // right/side: left = right + side
+            for (int i = 0; i < blocksize; ++i) ch0[i] = ch1[i] + ch0[i];
+        } else if (decor == 3) {  // mid/side
+            for (int i = 0; i < blocksize; ++i) {
+                int64_t mid = (ch0[i] << 1) | (ch1[i] & 1);
+                int64_t side = ch1[i];
+                ch0[i] = (mid + side) >> 1;
+                ch1[i] = (mid - side) >> 1;
+            }
+        }
+
+        int64_t take = blocksize;
+        if (total > 0 && written + take > total) take = total - written;
+        if ((written + take) * nch > out_capacity) return -1;
+        for (int64_t i = 0; i < take; ++i) {
+            out[(written + i) * nch] = (int32_t)ch0[i];
+            if (nch == 2) out[(written + i) * nch + 1] = (int32_t)ch1[i];
+        }
+        written += take;
+    }
+    return written;
+}
+
 void adaa_repeat_pad(const float* in, int64_t n, float* out, int64_t cut) {
     if (n >= cut) {
         std::memcpy(out, in, cut * sizeof(float));

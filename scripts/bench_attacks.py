@@ -30,6 +30,27 @@ DEFAULT_ATTACKS = [
 ]
 
 
+def _resolve(name):
+    """Registry attacks by exact key; stock attacks by builder name."""
+    from adaa_tpu.attacks import ATTACK_REGISTRY
+
+    if name in ATTACK_REGISTRY:
+        return ATTACK_REGISTRY[name]
+    from adaa_tpu.attacks import apgd as apgd_mod
+    from adaa_tpu.attacks import cw as cw_mod
+    from adaa_tpu.attacks import extra, square as square_mod
+
+    stock = {
+        "BIM": (extra.bim, {"steps": 10}),
+        "MIFGSM": (extra.mifgsm, {"steps": 10}),
+        "DeepFool": (extra.deepfool, {"steps": 20}),
+        "APGDT": (apgd_mod.apgdt, {"steps": 20}),
+        "CW": (cw_mod.cw, {"steps": 50}),
+        "Square": (square_mod.square, {"n_queries": 200}),
+    }
+    return stock[name]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--attacks", nargs="*", default=DEFAULT_ATTACKS)
@@ -66,7 +87,7 @@ def main():
         results = json.loads(OUT.read_text())
 
     for name in args.attacks:
-        fn, params = ATTACK_REGISTRY[name]
+        fn, params = _resolve(name)
         atk = fn(logits_fn, **params)
 
         @jax.jit
@@ -79,6 +100,8 @@ def main():
         out = attack_batch(x, y, key)
         float(out.ravel()[0])
         compile_s = time.perf_counter() - t0
+        out = attack_batch(x, y, key)  # warmup
+        float(out.ravel()[0])
 
         t0 = time.perf_counter()
         for _ in range(args.iters):

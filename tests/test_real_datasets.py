@@ -2,9 +2,10 @@
 mini-corpus (the reference assumes the full ASVspoof/WaveFake/
 FakeAVCeleb trees; here we synthesize directory structures).
 
-WaveFake uses wav (decodable natively); ASVspoof2021-DF (flac) and
-FakeAVCeleb (mp3) get manifest-level tests only — decode needs the
-optional soundfile dependency.
+WaveFake uses wav and ASVspoof2021-DF flac — both decodable natively
+(flac via native/adaa_dsp.cpp, streams generated with the test encoder
+in tests/oracles/flac_writer.py). FakeAVCeleb (mp3) stays
+manifest-level — mp3 decode needs the optional soundfile dependency.
 """
 import numpy as np
 import pytest
@@ -54,10 +55,20 @@ def asvspoof_root(tmp_path_factory):
     flac_dir = (root / "ASVspoof2021_DF_eval_part00" / "ASVspoof2021_DF_eval"
                 / "flac")
     flac_dir.mkdir(parents=True)
+    from adaa_tpu.data import native
+    from tests.oracles.flac_writer import encode_flac
+
+    rng = np.random.default_rng(7)
     lines = []
     for i in range(20):
         name = f"DF_E_{i:07d}"
-        (flac_dir / f"{name}.flac").write_bytes(b"fLaC-placeholder")
+        if native.available():
+            pcm = np.cumsum(rng.standard_normal(SR // 2))
+            pcm = (pcm / np.abs(pcm).max() * 3000).astype(np.int64)
+            (flac_dir / f"{name}.flac").write_bytes(
+                encode_flac(pcm, sample_rate=SR, kind="fixed", order=2))
+        else:  # pragma: no cover - manifest-only fallback
+            (flac_dir / f"{name}.flac").write_bytes(b"fLaC-placeholder")
         label = "bonafide" if i % 2 else "spoof"
         lines.append(f"LA_0001 {name} nocodec asvspoof A00 {label} notrim eval")
     keys = root / "keys" / "CM"
@@ -120,6 +131,17 @@ class TestASVSpoofManifest:
     def test_labels(self, asvspoof_root):
         ds = DeepFakeASVSpoofDataset(asvspoof_root, subset="train")
         assert set(ds.samples["label"]) == {"bonafide", "spoof"}
+
+    def test_flac_decode_end_to_end(self, asvspoof_root):
+        from adaa_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        ds = DeepFakeASVSpoofDataset(asvspoof_root, subset="train")
+        wave, sr, label = ds[0]
+        assert wave.shape == (64_600,)
+        assert sr == SR
+        assert np.isfinite(wave).all() and np.abs(wave).max() > 0
 
 
 class TestDetectionUnion:
