@@ -36,9 +36,12 @@ def _resolve(name):
 
     if name in ATTACK_REGISTRY:
         return ATTACK_REGISTRY[name]
-    from adaa_tpu.attacks import apgd as apgd_mod
-    from adaa_tpu.attacks import cw as cw_mod
-    from adaa_tpu.attacks import extra, square as square_mod
+    import importlib
+
+    apgd_mod = importlib.import_module("adaa_tpu.attacks.apgd")
+    cw_mod = importlib.import_module("adaa_tpu.attacks.cw")
+    extra = importlib.import_module("adaa_tpu.attacks.extra")
+    square_mod = importlib.import_module("adaa_tpu.attacks.square")
 
     stock = {
         "BIM": (extra.bim, {"steps": 10}),

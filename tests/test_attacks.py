@@ -296,6 +296,88 @@ class TestSquareAndComposite:
         )
         assert acc <= strong_only + 1e-9
 
+    def test_multiattack_keeps_first_success(self, toy):
+        """A later attack must not replace an earlier attack's
+        adversarial example (upstream multiattack.py keeps the first
+        success per sample)."""
+        logits_fn, x, y = toy
+
+        def always_fooling(marker):
+            # flip the prediction by crossing the decision boundary with
+            # a huge step against the sign, then stamp a marker value
+            def atk(x, y, key):
+                g = jax.grad(
+                    lambda x: core.two_class_ce(logits_fn(x), y).sum())(x)
+                adv = jnp.clip(x + 0.5 * jnp.sign(g), 0.0, 1.0)
+                return adv.at[:, 0].set(marker)
+
+            return atk
+
+        first = always_fooling(0.125)
+        second = always_fooling(0.875)
+        atk = multiattack_fn = __import__(
+            "adaa_tpu.attacks.composite", fromlist=["multiattack"]
+        ).multiattack(logits_fn, [first, second])
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(17))
+        fooled_by_first = np.asarray(
+            core.predicted_label(logits_fn(first(x, y, None))) != y
+        )
+        marks = np.asarray(adv[:, 0])
+        # wherever the first attack succeeded, its marker must survive
+        assert (marks[fooled_by_first] == 0.125).all()
+
+    def test_autoattack_standard_composition(self, toy, monkeypatch):
+        """AutoAttack 'standard' must assemble APGD-CE, APGD-T, FAB,
+        Square in upstream order with upstream budgets (autoattack.py:
+        attacks_to_run = ['apgd-ce', 'apgd-t', 'fab-t', 'square'];
+        FAB-targeted degenerates to untargeted FAB for 2 classes)."""
+        from adaa_tpu.attacks import composite
+
+        calls = []
+
+        def fake(name):
+            def builder(logits_fn, **kw):
+                calls.append((name, kw))
+                return lambda x, y, key: x
+
+            return builder
+
+        import importlib
+
+        # the package __init__ shadows the submodules with same-named
+        # functions, so resolve module objects explicitly
+        monkeypatch.setattr(
+            importlib.import_module("adaa_tpu.attacks.apgd"),
+            "apgd", fake("apgd"))
+        monkeypatch.setattr(
+            importlib.import_module("adaa_tpu.attacks.apgd"),
+            "apgdt", fake("apgdt"))
+        monkeypatch.setattr(
+            importlib.import_module("adaa_tpu.attacks.fab"),
+            "fab", fake("fab"))
+        monkeypatch.setattr(
+            importlib.import_module("adaa_tpu.attacks.square"),
+            "square", fake("square"))
+        logits_fn, x, y = toy
+        composite.autoattack(logits_fn, eps=0.03)
+        assert [c[0] for c in calls] == ["apgd", "apgdt", "fab", "square"]
+        by_name = dict(calls)
+        assert by_name["apgd"]["loss"] == "ce"
+        assert by_name["apgd"]["steps"] == 100
+        assert by_name["apgd"]["eps"] == 0.03
+        assert by_name["fab"]["steps"] == 100
+        assert by_name["square"]["n_queries"] == 5000
+
+    def test_autoattack_runs_and_attacks(self, toy):
+        from adaa_tpu.attacks.composite import autoattack
+
+        logits_fn, x, y = toy
+        atk = autoattack(logits_fn, eps=0.1)
+        adv = jax.jit(atk)(x, y, jax.random.PRNGKey(18))
+        assert adv.shape == x.shape
+        assert np.abs(np.asarray(adv - x)).max() <= 0.1 + 1e-4
+        assert _acc(logits_fn, adv, y) < _acc(logits_fn, x, y)
+
 
 class TestRemainingStock:
     @pytest.mark.parametrize("name,params", [

@@ -202,6 +202,45 @@ def test_evaluate_nn_sharded_equals_unsharded():
     assert sharded == unsharded
 
 
+def test_fused_bf16_lcnn_shards_over_mesh(monkeypatch):
+    """The fused Pallas first block (canonical 64600-sample shape,
+    bf16 trunk) must partition under batch sharding on the 8-device
+    mesh — pallas_call + SPMD partitioner compatibility guard."""
+    from adaa_tpu import models
+
+    monkeypatch.delenv("ADAA_FUSED_LCNN", raising=False)
+    wave_len = 64_600
+    module = models.get_model(
+        "lcnn",
+        {"input_channels": 1, "frontend_algorithm": ["lfcc"],
+         "compute_dtype": "bfloat16"},
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=wave_len
+    )
+
+    def fwdgrad(variables, x, y, key):
+        del y, key
+        return jax.grad(
+            lambda x: module.apply(variables, x, train=False).sum())(x)
+
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((8, wave_len)) * 0.1).astype(np.float32)
+    y = np.zeros(8, np.int32)
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(
+        jax.jit(fwdgrad)(variables, jnp.asarray(x), jnp.asarray(y), key))
+
+    mesh = make_mesh(8)
+    dp = data_parallel_attack_fn(fwdgrad, mesh)
+    out = np.asarray(dp(replicate(variables, mesh), shard_batch(mesh, x),
+                        shard_batch(mesh, y), key))
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    # bf16 grads; identical math modulo reduction order
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+
 def test_initialize_multihost_noop_without_coordinator(monkeypatch):
     from adaa_tpu.parallel.mesh import initialize_multihost
 
