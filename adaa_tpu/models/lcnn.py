@@ -69,7 +69,21 @@ class LCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if x.ndim == 2:  # raw waveform -> frontend
-            feat = frontends.get_frontend(list(self.frontend_algorithm))(x)
+            # bf16 trunk: the frontend's DFT/filterbank matmuls also run
+            # bf16 (f32 accumulation) — attack surrogates only; the f32
+            # parity path keeps the HIGHEST-precision frontend.
+            # ADAA_BF16_FRONTEND=0 keeps the f32 frontend on the bf16
+            # trunk (measured attack-effectiveness parity either way).
+            fe_compute = (
+                "bf16"
+                if (self.compute_dtype == jnp.bfloat16
+                    and self.precision != "highest"
+                    and os.environ.get("ADAA_BF16_FRONTEND") != "0")
+                else "f32"
+            )
+            feat = frontends.get_frontend(
+                list(self.frontend_algorithm), compute=fe_compute
+            )(x)
             if feat.ndim < 4:
                 feat = feat[:, None, :, :]  # (B, 1, n_coeff, T)
         else:
@@ -119,6 +133,7 @@ class LCNN(nn.Module):
                 kernel,
                 bias,
                 jax.default_backend() == "cpu",
+                train,  # weight cotangents only exist on train paths
             )
         else:
             h = mfm(conv(64, 5, "conv0")(h))

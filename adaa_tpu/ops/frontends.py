@@ -56,7 +56,8 @@ HOP_LENGTH = 160  # 10 ms  (src/frontends.py:9)
 N_FFT = 512
 
 
-def lfcc(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
+def lfcc(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128,
+         compute: str = "f32") -> jax.Array:
     """(..., L) -> (..., n_lfcc, T). torchaudio.transforms.LFCC equivalent.
 
     With ``ADAA_PALLAS_FRONTEND=1`` (TPU, canonical 64600-sample input,
@@ -72,12 +73,14 @@ def lfcc(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
         and os.environ.get("ADAA_PALLAS_FRONTEND") == "1"
     ):
         return _lfcc_pallas_grad(x)
-    return _lfcc_xla(x, n_lfcc, n_filter)
+    return _lfcc_xla(x, n_lfcc, n_filter, compute)
 
 
-def _lfcc_xla(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
+def _lfcc_xla(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128,
+              compute: str = "f32") -> jax.Array:
     spec = stft_ops.spectrogram(
-        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH, power=2.0
+        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH,
+        power=2.0, compute=compute,
     )  # (..., F, T)
     filt = jnp.asarray(
         fb.linear_fbanks(
@@ -88,10 +91,7 @@ def _lfcc_xla(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
             sample_rate=SAMPLING_RATE,
         )
     )  # (F, n_filter)
-    banked = jnp.einsum(
-        "...ft,fm->...mt", spec, filt, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    banked = _banked_einsum(spec, filt, compute)
     banked_db = fb.amplitude_to_db_power(banked)
     dct = jnp.asarray(fb.create_dct(n_lfcc, n_filter, norm="ortho"))  # (n_filter, n_lfcc)
     return jnp.einsum(
@@ -100,10 +100,12 @@ def _lfcc_xla(x: jax.Array, n_lfcc: int = 80, n_filter: int = 128) -> jax.Array:
     )
 
 
-def mfcc(x: jax.Array, n_mfcc: int = 80, n_mels: int = 128) -> jax.Array:
+def mfcc(x: jax.Array, n_mfcc: int = 80, n_mels: int = 128,
+         compute: str = "f32") -> jax.Array:
     """(..., L) -> (..., n_mfcc, T). torchaudio.transforms.MFCC equivalent."""
     spec = stft_ops.spectrogram(
-        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH, power=2.0
+        x, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=WIN_LENGTH,
+        power=2.0, compute=compute,
     )
     filt = jnp.asarray(
         fb.melscale_fbanks(
@@ -116,14 +118,26 @@ def mfcc(x: jax.Array, n_mfcc: int = 80, n_mels: int = 128) -> jax.Array:
             mel_scale="htk",
         )
     )
-    banked = jnp.einsum(
-        "...ft,fm->...mt", spec, filt, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    banked = _banked_einsum(spec, filt, compute)
     banked_db = fb.amplitude_to_db_power(banked)
     dct = jnp.asarray(fb.create_dct(n_mfcc, n_mels, norm="ortho"))
     return jnp.einsum(
         "...mt,mc->...ct", banked_db, dct, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _banked_einsum(spec, filt, compute):
+    """Filterbank projection; bf16 inputs + f32 accumulation in the
+    attack-surrogate fast path, HIGHEST-precision f32 otherwise."""
+    if compute == "bf16" and jax.default_backend() != "cpu":
+        return jnp.einsum(
+            "...ft,fm->...mt", spec.astype(jnp.bfloat16),
+            filt.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        "...ft,fm->...mt", spec, filt, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
@@ -172,12 +186,22 @@ _FRONTENDS = {
 }
 
 
-def get_frontend(frontends: List[str]) -> Callable[[jax.Array], jax.Array]:
-    """Dispatch mirroring the reference (src/frontends.py:41-50)."""
+def get_frontend(
+    frontends: List[str], compute: str = "f32"
+) -> Callable[[jax.Array], jax.Array]:
+    """Dispatch mirroring the reference (src/frontends.py:41-50).
+
+    ``compute="bf16"`` selects the bf16-MXU fast path for the cepstral
+    frontends (attack surrogates only — the f32 default is the
+    torch.stft-parity path used by evaluations). mel_spec is always
+    f32 (abs/angle channels are cheap and phase is rounding-sensitive).
+    """
+    import functools as _ft
+
     if "mfcc" in frontends:
-        return mfcc
+        return _ft.partial(mfcc, compute=compute)
     elif "lfcc" in frontends:
-        return lfcc
+        return _ft.partial(lfcc, compute=compute)
     elif "mel_spec" in frontends:
         return mel_spec
     raise ValueError(f"{frontends} frontend is not supported!")

@@ -331,23 +331,26 @@ def _reference_xla(x, w, bias):
     return y.max(axis=(2, 4))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_conv0_mfm_pool(x, w, bias, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_conv0_mfm_pool(x, w, bias, interpret=False, need_dw=True):
     """(B, 404, 80) bf16/f32, w (5,5,1,64) HWIO, bias (64) -> (B, 202, 40, 32).
 
     Equals conv5x5(pad 2) + MFM + maxpool2x2 with bf16 conv compute and
-    f32 accumulation.
+    f32 accumulation. ``need_dw=False`` (attack/eval paths) returns
+    zero weight cotangents instead of tracing the wgrad graph — a
+    custom_vjp's bwd is traced wholesale, so XLA cannot be relied on to
+    DCE an unused dW branch (it materially slowed one-shot attacks).
     """
     xe, xo = _planes(x)
     wmat, brow = _pack_weights(w, bias)
     return _fwd_call(xe, xo, wmat, brow, x.dtype, interpret)
 
 
-def _fused_fwd(x, w, bias, interpret):
-    return fused_conv0_mfm_pool(x, w, bias, interpret), (x, w, bias)
+def _fused_fwd(x, w, bias, interpret, need_dw):
+    return fused_conv0_mfm_pool(x, w, bias, interpret, need_dw), (x, w, bias)
 
 
-def _fused_bwd(interpret, res, g):
+def _fused_bwd(interpret, need_dw, res, g):
     x, w, bias = res
     xe, xo = _planes(x)
     wmat, brow = _pack_weights(w, bias)
@@ -358,7 +361,9 @@ def _fused_bwd(interpret, res, g):
     dx = jnp.stack([dxe, dxo], axis=2).reshape(
         x.shape[0], T_IN, LANES_IN
     )[:, :, 2 : 2 + F_IN]
-    # dW/dbias through the XLA reference path (DCE'd when unused)
+    if not need_dw:
+        return (dx.astype(x.dtype), jnp.zeros_like(w), jnp.zeros_like(bias))
+    # dW/dbias through the XLA reference path (training steps)
     _, vjp = jax.vjp(
         lambda ww, bb: _reference_xla(x.astype(jnp.bfloat16), ww, bb),
         w.astype(jnp.bfloat16), bias.astype(jnp.bfloat16),

@@ -76,7 +76,8 @@ def frame_count(length: int, n_fft: int, hop_length: int, center: bool = True) -
 
 
 @functools.lru_cache(maxsize=16)
-def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int, window: str):
+def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
+                     window: str, compute: str = "f32"):
     """Strided windowed-DFT (B, Lp) -> (B, 2F, T) with a custom VJP.
 
     Forward is one strided conv (good MXU code on TPU). The *automatic*
@@ -92,17 +93,25 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int, window: str):
     """
     kern_np = _dft_kernel(n_fft, win_length, window)  # (2F, 1, n_fft)
     kern2d_np = kern_np[:, 0, :]  # (2F, n_fft)
+    # compute="bf16": MXU-native bf16 inputs with f32 accumulation —
+    # the attack-surrogate fast path (see frontends.lfcc); "f32" is the
+    # parity-exact default (HIGHEST matches torch.stft to fp32 noise).
+    # CPU's dot runtime has no bf16 x bf16 -> f32 kernel, so the fast
+    # path is TPU-only (tests force CPU and always take f32).
+    bf16 = compute == "bf16" and jax.default_backend() != "cpu"
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
 
     @jax.custom_vjp
     def windowed_dft(xp):
         out = jax.lax.conv_general_dilated(
-            xp[:, None, :],
-            jnp.asarray(kern_np),
+            xp[:, None, :].astype(in_dtype),
+            jnp.asarray(kern_np).astype(in_dtype),
             window_strides=(hop_length,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (B, 2F, T)
         return out
 
@@ -115,9 +124,10 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int, window: str):
         s = hop_length
         c = -(-n_fft // s)  # chunks per frame
         gg = jnp.einsum(
-            "bft,fn->btn", g, jnp.asarray(kern2d_np),
+            "bft,fn->btn", g.astype(in_dtype),
+            jnp.asarray(kern2d_np).astype(in_dtype),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (B, T, n_fft)
         gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c * s - n_fft)))
         gg = gg.reshape(b, t, c, s)
@@ -144,6 +154,7 @@ def stft(
     window: str = "hann",
     center: bool = True,
     pad_mode: str = "reflect",
+    compute: str = "f32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Real STFT of a batch of waves.
 
@@ -164,7 +175,9 @@ def stft(
         pad = n_fft // 2
         x2 = jnp.pad(x2, ((0, 0), (pad, pad)), mode=pad_mode)
 
-    out = _windowed_dft_fn(n_fft, hop_length, win_length, window)(x2)
+    out = _windowed_dft_fn(
+        n_fft, hop_length, win_length, window, compute
+    )(x2)
 
     n_bins = n_fft // 2 + 1
     n_frames = out.shape[-1]
@@ -182,6 +195,7 @@ def spectrogram(
     hop_length: int = 160,
     win_length: int = 400,
     power: float = 2.0,
+    compute: str = "f32",
 ) -> jax.Array:
     """``torchaudio.transforms.Spectrogram`` equivalent (power spectrum).
 
@@ -189,7 +203,8 @@ def spectrogram(
     (..., n_fft // 2 + 1, n_frames).
     """
     real, imag = stft(
-        x, n_fft=n_fft, hop_length=hop_length, win_length=win_length, window="hann"
+        x, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+        window="hann", compute=compute,
     )
     mag2 = real * real + imag * imag
     if power == 2.0:

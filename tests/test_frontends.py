@@ -265,8 +265,10 @@ class TestFrontends:
         )
 
     def test_get_frontend_dispatch(self):
-        assert frontends.get_frontend(["lfcc"]) is frontends.lfcc
-        assert frontends.get_frontend(["mfcc"]) is frontends.mfcc
+        fe = frontends.get_frontend(["lfcc"])
+        assert getattr(fe, "func", fe) is frontends.lfcc
+        fe = frontends.get_frontend(["mfcc"])
+        assert getattr(fe, "func", fe) is frontends.mfcc
         assert frontends.get_frontend(["mel_spec"]) is frontends.mel_spec
         with pytest.raises(ValueError):
             frontends.get_frontend(["bogus"])
