@@ -117,10 +117,14 @@ class LCNN(nn.Module):
         # canonical frontend shape this runs as one fused Pallas kernel
         # (ops/pallas_layer0.py) — the XLA schedule materializes ~1 GB of
         # intermediates here per batch-256 step. ADAA_FUSED_LCNN=0 forces
-        # the XLA path; f32/parity modes always use it.
+        # the XLA path; f32/parity modes always use it. Training steps
+        # (train=True) also use the XLA path: they need exact weight
+        # cotangents, and the fused op's dW fallback would recompute the
+        # block in XLA anyway — attacks/eval are where the steps are.
         use_fused = (
             dtype == jnp.bfloat16
             and prec is None
+            and not train
             and h.shape[1:] == (404, 80, 1)
             and os.environ.get("ADAA_FUSED_LCNN") != "0"
         )
@@ -138,6 +142,11 @@ class LCNN(nn.Module):
         else:
             h = mfm(conv(64, 5, "conv0")(h))
             h = pool(h)
+        # mid-layer MFM/pools stay on XLA: a fused Pallas MFM+t-pool was
+        # prototyped for conv6/conv13/conv25 but measured SLOWER than
+        # XLA's fused machinery at these (4-16x smaller) shapes — the
+        # many small grid blocks cost more in dispatch/pipelining than
+        # the saved HBM traffic (47 vs 33 ms full fwd+bwd, round 2)
         h = mfm(conv(64, 1, "conv3")(h))
         h = bn("bn5")(h, use_running_average=not train)
         h = mfm(conv(96, 3, "conv6")(h))
