@@ -59,6 +59,9 @@ def main():
     parser.add_argument("--attacks", nargs="*", default=DEFAULT_ATTACKS)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--model", default="lcnn",
+                        help="detector to attack (lcnn/specrnet/rawnet3); "
+                        "non-lcnn results get a '<model>:' key prefix")
     parser.add_argument("--no-merge", action="store_true",
                         help="overwrite BENCH_ATTACKS.json instead of merging")
     args = parser.parse_args()
@@ -73,12 +76,16 @@ def main():
     from adaa_tpu import models
     from adaa_tpu.attacks import ATTACK_REGISTRY, core as attack_core
 
-    cfg = {"input_channels": 1, "frontend_algorithm": ["lfcc"],
-           "compute_dtype": "bfloat16"}
-    module = models.get_model("lcnn", cfg)
+    if args.model == "rawnet3":  # raw-waveform model: no frontend key
+        cfg = {"compute_dtype": "bfloat16"}
+    else:
+        cfg = {"input_channels": 1, "frontend_algorithm": ["lfcc"],
+               "compute_dtype": "bfloat16"}
+    module = models.get_model(args.model, cfg)
     variables = models.init_model(module, jax.random.PRNGKey(0),
                                   wave_length=WAVE_LEN)
     logits_fn = attack_core.make_logits_fn(module, variables)
+    prefix = "" if args.model == "lcnn" else f"{args.model}:" 
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -114,12 +121,12 @@ def main():
         dt = time.perf_counter() - t0
 
         ms = dt / args.iters * 1e3
-        results[name] = {
+        results[prefix + name] = {
             "ms_per_batch64": round(ms, 1),
             "examples_per_sec": round(args.batch * args.iters / dt, 1),
             "compile_s": round(compile_s, 1),
         }
-        print(f"{name}: {results[name]}")
+        print(f"{prefix + name}: {results[prefix + name]}")
 
     OUT.write_text(json.dumps(results, indent=1))
     print(f"wrote {OUT}")
