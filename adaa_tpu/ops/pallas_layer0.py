@@ -243,10 +243,9 @@ def _block_spec(rows, lanes):
 
 
 def _rows_per_step(b: int) -> int:
-    return 2 if b % 2 == 0 else 1
-
-
-def _rows_per_step_bwd(b: int) -> int:
+    # 2 samples per grid step: bigger MXU dots + halved grid overhead;
+    # the slice-quarter epilogue keeps both directions under the 16 MB
+    # scoped-VMEM ceiling at r=2 (roll-based epilogues did not)
     return 2 if b % 2 == 0 else 1
 
 
@@ -276,7 +275,7 @@ def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret):
 def _bwd_call(xe, xo, wmat, brow, g, interpret):
     rows_total = xe.shape[0]
     b = rows_total // ROWS_PAD
-    r = _rows_per_step_bwd(b)
+    r = _rows_per_step(b)
     rows = r * ROWS_PAD
     gp = jnp.pad(
         g.astype(jnp.float32).reshape(b, T_OUT, NOUT),
