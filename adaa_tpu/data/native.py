@@ -162,8 +162,10 @@ def flac_decode(path_or_bytes) -> Optional[tuple]:
     if total < 0:
         return None
     channels, srate, bps = int(meta[0]), int(meta[1]), int(meta[2])
-    # streams may omit total_samples; fall back to a generous bound
-    cap = int(total) if total > 0 else len(raw) * 4 // max(channels, 1) + 65536
+    # The metadata pass returns an exact per-channel sample count even
+    # when STREAMINFO omits total_samples (the C decoder walks the frame
+    # chain in counting-only mode), so the capacity is never a guess.
+    cap = int(total)
     out = np.empty(cap * channels, np.int32)
     n = lib.adaa_flac_decode(
         buf.ctypes.data_as(u8p), buf.size,

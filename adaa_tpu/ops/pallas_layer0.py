@@ -361,7 +361,15 @@ def _fused_bwd(interpret, need_dw, res, g):
         x.shape[0], T_IN, LANES_IN
     )[:, :, 2 : 2 + F_IN]
     if not need_dw:
-        return (dx.astype(x.dtype), jnp.zeros_like(w), jnp.zeros_like(bias))
+        # need_dw=False means the caller promised not to consume W/bias
+        # cotangents (attack programs differentiate w.r.t. x only). NaN
+        # rather than zero so an accidental eval-mode parameter gradient
+        # fails loudly instead of silently training conv0 with dW == 0.
+        return (
+            dx.astype(x.dtype),
+            jnp.full_like(w, jnp.nan),
+            jnp.full_like(bias, jnp.nan),
+        )
     # dW/dbias through the XLA reference path (training steps)
     _, vjp = jax.vjp(
         lambda ww, bb: _reference_xla(x.astype(jnp.bfloat16), ww, bb),

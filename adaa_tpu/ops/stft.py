@@ -97,8 +97,10 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
     # the attack-surrogate fast path (see frontends.lfcc); "f32" is the
     # parity-exact default (HIGHEST matches torch.stft to fp32 noise).
     # CPU's dot runtime has no bf16 x bf16 -> f32 kernel, so the fast
-    # path is TPU-only (tests force CPU and always take f32).
-    bf16 = compute == "bf16" and jax.default_backend() != "cpu"
+    # path is TPU-only; the caller downgrades compute to "f32" on CPU
+    # per call (keeping the backend check out of this cached closure,
+    # which would otherwise go stale if the platform changed).
+    bf16 = compute == "bf16"
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
     prec = None if bf16 else jax.lax.Precision.HIGHEST
 
@@ -175,6 +177,8 @@ def stft(
         pad = n_fft // 2
         x2 = jnp.pad(x2, ((0, 0), (pad, pad)), mode=pad_mode)
 
+    if compute == "bf16" and jax.default_backend() == "cpu":
+        compute = "f32"  # no bf16 dot kernel on CPU; checked per call
     out = _windowed_dft_fn(
         n_fft, hop_length, win_length, window, compute
     )(x2)

@@ -704,11 +704,18 @@ int64_t adaa_flac_decode(const uint8_t* data, int64_t nbytes,
         if (last) break;
         if (br.eof()) return -1;
     }
-    if (!have_info || channels < 1 || channels > 8) return -1;
+    // Only mono/stereo layouts are implemented (the decode loop below
+    // allocates at most two channel buffers); reject anything else up
+    // front rather than decoding c>=1 subframes into an empty buffer.
+    if (!have_info || channels < 1 || channels > 2) return -1;
     if (meta) {
         meta[0] = channels; meta[1] = srate; meta[2] = bps; meta[3] = total;
     }
-    if (!out) return total;
+    // out == nullptr: metadata pass. If STREAMINFO carries the total we
+    // return it directly; otherwise fall through into the frame loop in
+    // counting-only mode (decode, don't store) so the caller gets an
+    // exact capacity instead of guessing a compression ratio.
+    if (!out && total > 0) return total;
 
     std::vector<int64_t> ch0, ch1;
     int64_t written = 0;  // per channel
@@ -786,10 +793,12 @@ int64_t adaa_flac_decode(const uint8_t* data, int64_t nbytes,
 
         int64_t take = blocksize;
         if (total > 0 && written + take > total) take = total - written;
-        if ((written + take) * nch > out_capacity) return -1;
-        for (int64_t i = 0; i < take; ++i) {
-            out[(written + i) * nch] = (int32_t)ch0[i];
-            if (nch == 2) out[(written + i) * nch + 1] = (int32_t)ch1[i];
+        if (out) {
+            if ((written + take) * nch > out_capacity) return -1;
+            for (int64_t i = 0; i < take; ++i) {
+                out[(written + i) * nch] = (int32_t)ch0[i];
+                if (nch == 2) out[(written + i) * nch + 1] = (int32_t)ch1[i];
+            }
         }
         written += take;
     }

@@ -191,6 +191,7 @@ def encode_flac(
     stereo_mode: str = "independent",
     rice2: bool = False,
     escape_part: int = -1,
+    omit_total: bool = False,
 ) -> bytes:
     """Encode int PCM (T,) or (T, 2) to a FLAC stream."""
     pcm = np.asarray(pcm, np.int64)
@@ -209,7 +210,7 @@ def encode_flac(
     si.write(sample_rate, 20)
     si.write(channels - 1, 3)
     si.write(bps - 1, 5)
-    si.write(total, 36)
+    si.write(0 if omit_total else total, 36)
     body = si.data() + b"\x00" * 16  # md5 unset
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
 

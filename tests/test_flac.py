@@ -110,3 +110,39 @@ class TestLoadAudio:
     def test_garbage_rejected(self):
         assert native.flac_decode(b"fLaCgarbage") is None
         assert native.flac_decode(b"not flac at all") is None
+
+    def test_omitted_total_samples(self, rng):
+        # STREAMINFO total_samples == 0 is legal ("unknown"); the
+        # metadata pass must count frames so capacity is exact.
+        pcm = _pcm(rng, n=9000)
+        stream = encode_flac(pcm, kind="fixed", order=2,
+                             blocksize=1024, omit_total=True)
+        got = native.flac_decode(stream)
+        assert got is not None
+        audio, sr = got
+        np.testing.assert_array_equal(
+            audio[0], (pcm / 32768.0).astype(np.float32))
+
+    def test_constant_silence_omitted_total(self):
+        # Constant subframes compress far past any fixed ratio guess;
+        # with total unknown this used to overflow the capacity
+        # heuristic and surface as "cannot decode".
+        pcm = np.zeros(500_000, np.int64)
+        stream = encode_flac(pcm, kind="constant", blocksize=4096,
+                             omit_total=True)
+        got = native.flac_decode(stream)
+        assert got is not None
+        assert got[0].shape == (1, 500_000)
+        assert np.all(got[0] == 0.0)
+
+    def test_multichannel_rejected(self, rng):
+        # The decoder implements mono/stereo only; a stream whose
+        # STREAMINFO claims 3 channels must be rejected up front, not
+        # decoded into an unallocated second channel buffer.
+        pcm = _pcm(rng, n=2000)
+        stream = bytearray(encode_flac(pcm, kind="verbatim"))
+        # STREAMINFO body starts at byte 8; channels-1 is the 3 bits
+        # at bit offset 100 (bits 4-6 of body byte 12 = file byte 20).
+        assert (stream[20] >> 1) & 0x7 == 0  # mono encoded
+        stream[20] |= 0x2 << 1  # claim channels-1 == 2
+        assert native.flac_decode(bytes(stream)) is None
