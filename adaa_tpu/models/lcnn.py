@@ -48,6 +48,47 @@ class _Conv0Params(nn.Module):
         return kernel, bias
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only twin of an nn.Conv (same tree: {name}/{kernel,bias}).
+
+    Used by the folded eval path so BatchNorm scales can be multiplied
+    into the kernel before the conv runs (see LCNN.__call__).
+    """
+
+    features: int
+    ksize: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", layers.kaiming_uniform_conv,
+            (self.ksize, self.ksize, self.in_features, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return kernel, bias
+
+
+class _BNStats(nn.Module):
+    """Stats-only twin of nn.BatchNorm (same tree: batch_stats/{name}/{mean,var})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return mean.value, var.value
+
+
 class LCNN(nn.Module):
     """LCNN with an optional on-device frontend.
 
@@ -147,23 +188,72 @@ class LCNN(nn.Module):
         # XLA's fused machinery at these (4-16x smaller) shapes — the
         # many small grid blocks cost more in dispatch/pipelining than
         # the saved HBM traffic (47 vs 33 ms full fwd+bwd, round 2)
-        h = mfm(conv(64, 1, "conv3")(h))
-        h = bn("bn5")(h, use_running_average=not train)
-        h = mfm(conv(96, 3, "conv6")(h))
-        h = pool(h)
-        h = bn("bn9")(h, use_running_average=not train)
-        h = mfm(conv(96, 1, "conv10")(h))
-        h = bn("bn12")(h, use_running_average=not train)
-        h = mfm(conv(128, 3, "conv13")(h))
-        h = pool(h)
-        h = mfm(conv(128, 1, "conv16")(h))
-        h = bn("bn18")(h, use_running_average=not train)
-        h = mfm(conv(64, 3, "conv19")(h))
-        h = bn("bn21")(h, use_running_average=not train)
-        h = mfm(conv(64, 1, "conv22")(h))
-        h = bn("bn24")(h, use_running_average=not train)
-        h = mfm(conv(64, 3, "conv25")(h))
-        h = pool(h)
+        #
+        # Eval-mode BN folding (bf16 fast trunk): every BatchNorm here
+        # follows an MFM (bn9 additionally a pool), and a monotone
+        # per-channel affine commutes with those maxes — bn(mfm(y)) ==
+        # mfm(y * s + t) with s, t replicated over the MFM halves. So
+        # each BN folds EXACTLY into the preceding conv's output
+        # channels (kernel *= s, bias = bias * s + t): six elementwise
+        # passes over the big (B, 202, 40, C) activations disappear
+        # from the attack hot loop in both directions. Folding on the
+        # output side has no zero-padding caveat (folding a BN forward
+        # into a padded 3x3 conv would mis-handle borders).
+        fold = (
+            dtype == jnp.bfloat16
+            and prec is None
+            and not train
+            and os.environ.get("ADAA_FOLD_BN") != "0"
+        )
+        if fold:
+
+            def fconv(h, feat, k, in_feat, name, bn_name):
+                kernel, bias = _ConvParams(feat, k, in_feat, name=name)()
+                if bn_name is not None:
+                    m, v = _BNStats(feat // 2, name=bn_name)()
+                    s = 1.0 / jnp.sqrt(v + 1e-5)
+                    t = -m * s
+                    s2 = jnp.concatenate([s, s])
+                    kernel = kernel * s2
+                    bias = bias * s2 + jnp.concatenate([t, t])
+                y = jax.lax.conv_general_dilated(
+                    h.astype(dtype),
+                    kernel.astype(dtype),
+                    (1, 1),
+                    [(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return mfm(y + bias.astype(dtype))
+
+            h = fconv(h, 64, 1, 32, "conv3", "bn5")
+            h = fconv(h, 96, 3, 32, "conv6", "bn9")
+            h = pool(h)
+            h = fconv(h, 96, 1, 48, "conv10", "bn12")
+            h = fconv(h, 128, 3, 48, "conv13", None)
+            h = pool(h)
+            h = fconv(h, 128, 1, 64, "conv16", "bn18")
+            h = fconv(h, 64, 3, 64, "conv19", "bn21")
+            h = fconv(h, 64, 1, 32, "conv22", "bn24")
+            h = fconv(h, 64, 3, 32, "conv25", None)
+            h = pool(h)
+        else:
+            h = mfm(conv(64, 1, "conv3")(h))
+            h = bn("bn5")(h, use_running_average=not train)
+            h = mfm(conv(96, 3, "conv6")(h))
+            h = pool(h)
+            h = bn("bn9")(h, use_running_average=not train)
+            h = mfm(conv(96, 1, "conv10")(h))
+            h = bn("bn12")(h, use_running_average=not train)
+            h = mfm(conv(128, 3, "conv13")(h))
+            h = pool(h)
+            h = mfm(conv(128, 1, "conv16")(h))
+            h = bn("bn18")(h, use_running_average=not train)
+            h = mfm(conv(64, 3, "conv19")(h))
+            h = bn("bn21")(h, use_running_average=not train)
+            h = mfm(conv(64, 1, "conv22")(h))
+            h = bn("bn24")(h, use_running_average=not train)
+            h = mfm(conv(64, 3, "conv25")(h))
+            h = pool(h)
         h = nn.Dropout(rate=0.7, deterministic=not train)(h)
 
         # (B, T', W', C) -> (B, T', C, W') -> (B, T', C * W')

@@ -62,13 +62,17 @@ def measure_jax(batch: int, iters: int = 10, warmup: int = 2,
     # NOTE: sync via a 4-byte scalar pull — on the tunneled axon backend
     # np.asarray(out) would transfer the full batch through the relay
     # (~1 GB/s) and block_until_ready may return early.
+    # Keys are pre-split OUTSIDE the timed loop: each host-side
+    # jax.random.split is its own tiny device program whose tunnel
+    # dispatch stalls the pipeline ~9 ms/iter (measured 358 -> 271 ms
+    # per batch-256 iteration).
+    keys = list(jax.random.split(key, iters))
     for _ in range(warmup):
         out = attack_batch(x, y, key)
         float(out.ravel()[0])
     t0 = time.perf_counter()
     for i in range(iters):
-        key, k = jax.random.split(key)
-        out = attack_batch(x, y, k)
+        out = attack_batch(x, y, keys[i])
     float(out.ravel()[0])
     dt = time.perf_counter() - t0
     return batch * iters / dt

@@ -19,6 +19,22 @@ FAKEAVCELEB_DATASET_PATH = (
 )
 
 
+def enable_compilation_cache() -> None:
+    """Point jax at the repo's persistent compilation cache.
+
+    LCNN@64600 compiles take 1-4 min on the tunneled TPU; the cache
+    makes every CLI rerun (and the multi-run drivers' inner loops)
+    compile-free.
+    """
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(__import__("pathlib").Path(__file__).resolve().parents[1]
+            / ".jax_cache"),
+    )
+
+
 def setup_logging() -> logging.Logger:
     logger = logging.getLogger()
     logger.setLevel(logging.INFO)

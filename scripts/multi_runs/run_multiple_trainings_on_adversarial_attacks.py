@@ -26,6 +26,11 @@ def parse_args():
     parser.add_argument("--finetune", "-v", help="Use finetuning",
                         action="store_true")
     parser.add_argument("--epochs", type=int, default=10)
+    # passthroughs beyond the reference driver's surface (None -> the
+    # underlying CLI's own defaults); lets smoke tests bound the work
+    parser.add_argument("--batch_size", "-b", type=int, default=None)
+    parser.add_argument("--train_amount", "-a", type=int, default=None)
+    parser.add_argument("--test_amount", "-ta", type=int, default=None)
     return parser.parse_args()
 
 
@@ -55,6 +60,11 @@ if __name__ == "__main__":
             argv += ["--attack_model_config", c["attack_model_config"]]
         if args.finetune:
             argv += ["--finetune"]
+        for flag, val in (("--batch_size", args.batch_size),
+                          ("--train_amount", args.train_amount),
+                          ("--test_amount", args.test_amount)):
+            if val is not None:
+                argv += [flag, str(val)]
         print("train_models_on_adversarial_attacks", argv)
         sys.argv = ["train_models_on_adversarial_attacks.py"] + argv
         adv_train.main(adv_train.parse_args())

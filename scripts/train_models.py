@@ -11,11 +11,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from scripts._common import add_dataset_path_args, build_dataset, setup_logging
+from scripts._common import (add_dataset_path_args, build_dataset,
+                             enable_compilation_cache, setup_logging)
 
 
 def main(args):
     logger = setup_logging()
+    enable_compilation_cache()
 
     if args.cpu:
         import jax

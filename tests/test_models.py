@@ -139,3 +139,35 @@ class TestModelGoldens:
             out = np.asarray(module.apply(variables, wave, train=False))
             np.testing.assert_allclose(out, g[name], atol=1e-4, rtol=1e-4,
                                        err_msg=name)
+
+
+def test_eval_bn_folding_matches_unfolded(rng, monkeypatch):
+    """bf16 eval trunk: BN-folded convs == explicit BN path.
+
+    The folded path multiplies each BatchNorm's (s, t) into the
+    preceding conv (exact up to bf16 rounding; see models/lcnn.py).
+    Randomized running stats make the fold non-trivial.
+    """
+    module = models.get_model(
+        "lcnn",
+        {"input_channels": 1, "frontend_algorithm": ["lfcc"],
+         "compute_dtype": "bfloat16"},
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.abs(rng.standard_normal(a.shape)).astype(np.float32) + 0.5
+        ),
+        variables["batch_stats"],
+    )
+    variables = {**variables, "batch_stats": stats}
+    x = _wave(rng)
+
+    monkeypatch.setenv("ADAA_FOLD_BN", "0")
+    ref = np.asarray(module.apply(variables, x, train=False))
+    monkeypatch.delenv("ADAA_FOLD_BN")
+    got = np.asarray(module.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+    assert not np.allclose(got, 0.0)
