@@ -23,19 +23,19 @@ import jax.numpy as jnp
 from adaa_tpu.attacks import core
 from adaa_tpu.attacks.fab_projections import (
     projection_l1,
-    projection_l2_bisect,
-    projection_linf_bisect,
+    projection_l2_bisect_pair,
+    projection_linf_bisect_pair,
 )
 
 _DEFAULT_EPS = {"Linf": 0.3, "L2": 1.0, "L1": 5.0}
-# Linf/L2 use the bisection fast paths (no O(D log^2 D) sort per step;
-# equivalence to the sort-based closed forms is pinned in
-# tests/test_fab_projections.py). L1's support selection is inherently
-# order-based, so it keeps the sorted form.
-_PROJ = {
-    "Linf": projection_linf_bisect,
-    "L2": projection_l2_bisect,
-    "L1": projection_l1,
+# Linf/L2 use the fan-search fast paths in their paired form (both
+# per-step projections share the hyperplane, so the w-derived operands
+# are computed once; equivalence to the sort-based closed forms is
+# pinned in tests/test_fab_projections.py). L1's support selection is
+# inherently order-based, so it keeps the sorted form.
+_PROJ_PAIR = {
+    "Linf": projection_linf_bisect_pair,
+    "L2": projection_l2_bisect_pair,
 }
 _NORM_ORD = {"Linf": "linf", "L2": "l2", "L1": "l1"}
 
@@ -57,7 +57,7 @@ def fab(
     del targeted, verbose  # registry uses untargeted only (aa_types.py:20-22)
     assert n_classes == 2, "audio detectors are 2-class (single logit)"
     eps = _DEFAULT_EPS[norm] if eps is None else eps
-    proj = _PROJ[norm]
+    proj_pair = _PROJ_PAIR.get(norm)
     ord_name = _NORM_ORD[norm]
 
     def z_and_grad(x):
@@ -108,11 +108,16 @@ def fab(
             w = dg.reshape(b, -1)
             bb = -df + (w * x1.reshape(b, -1)).sum(axis=1)
 
-            d3 = proj(
-                jnp.concatenate([x1.reshape(b, -1), x0], 0),
-                jnp.concatenate([w, w], 0),
-                jnp.concatenate([bb, bb], 0),
-            )
+            t2 = jnp.stack([x1.reshape(b, -1), x0], 0)  # (2, B, D)
+            if proj_pair is not None:
+                d3 = proj_pair(t2, w, jnp.stack([bb, bb], 0))
+                d3 = d3.reshape(2 * b, -1)
+            else:  # L1 keeps the sort-based stacked form
+                d3 = projection_l1(
+                    t2.reshape(2 * b, -1),
+                    jnp.concatenate([w, w], 0),
+                    jnp.concatenate([bb, bb], 0),
+                )
             d1 = d3[:b].reshape(x1.shape)
             d2 = d3[b:].reshape(x1.shape)
             a0 = jnp.maximum(

@@ -42,68 +42,127 @@ def _take(a: jax.Array, idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _fan_search(g_of, lo, hi, bits: int, fan: int):
+    """Monotone scalar search batching ``fan`` candidates per pass.
+
+    ``g_of(mids)`` maps candidate radii (..., fan) -> constraint values
+    (..., fan), nondecreasing along the last axis. Each pass reads the
+    (B, D)-sized operands ONCE and narrows the bracket by a factor of
+    ``fan + 1`` — log2(fan+1) bits per pass instead of the 1 bit of a
+    plain bisection, so the HBM-bound search does ~4x fewer full-D
+    sweeps for the same precision. Returns the upper bracket (first
+    value known to satisfy the constraint, like the bisection's ``hi``).
+    """
+    passes = -(-bits // max(1, (fan + 1).bit_length() - 1))
+    frac = jnp.arange(1, fan + 1, dtype=lo.dtype) / (fan + 1)
+    for _ in range(passes):
+        span = (hi - lo)[..., None]
+        mids = lo[..., None] + span * frac
+        ok = g_of(mids)  # (..., fan) monotone: 0...0 1...1
+        m = (~ok).sum(-1).astype(lo.dtype)  # fails in [0, fan]
+        step = (hi - lo) / (fan + 1)
+        new_lo = lo + step * m
+        hi = jnp.minimum(new_lo + step, hi)
+        lo = new_lo
+    return hi
+
+
 def projection_linf_bisect(
     t: jax.Array, w: jax.Array, b: jax.Array, iters: int = 30
 ) -> jax.Array:
-    sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0
-    w = w * sign[:, None]
-    need = (w * t).sum(1) - b * sign  # = -c >= 0: required sum |w| min(lam,p)
+    d2 = projection_linf_bisect_pair(t[None], w, b[None], iters)
+    return d2[0]
 
-    nz = (w != 0).astype(t.dtype)
+
+def projection_linf_bisect_pair(
+    t2: jax.Array, w: jax.Array, b2: jax.Array, iters: int = 30,
+    fan: int = 7,
+) -> jax.Array:
+    """Linf projection of S points per hyperplane: t2 (S, B, D), w (B, D),
+    b2 (S, B) -> d (S, B, D).
+
+    FAB projects two points (the iterate and the original) onto the SAME
+    hyperplane each step (fab.py:112-115 in the reference stacks them);
+    sharing the w-derived operands across the S axis keeps |w| at (B, D)
+    instead of duplicating it, and the fan-search cuts the number of
+    full-D sweeps ~4x. Bit-equivalent to projection_linf_bisect per row
+    up to bracket-width 2^-iters (both return the bracket's top).
+    """
+    sign = 2.0 * ((w * t2).sum(-1) - b2 >= 0) - 1.0  # (S, B)
+    s3 = sign[..., None]
+    need = ((w * t2).sum(-1) - b2) * sign  # >= 0
+
+    nz = (w != 0).astype(t2.dtype)  # (B, D)
     aw = jnp.abs(w)
-    p = jnp.where(w > 0, t, 1.0 - t)  # wall distance along -sign(w_i)
+    p = jnp.where(w * s3 > 0, t2, 1.0 - t2)  # (S, B, D)
     awp = aw * p * nz
-    total = awp.sum(1)
+    total = awp.sum(-1)
     reachable = total >= need
 
-    lo = jnp.zeros_like(need)
-    hi = jnp.ones_like(need)
-    for _ in range(iters):
-        mid = 0.5 * (lo + hi)
-        g = (jnp.minimum(aw * mid[:, None], awp)).sum(1)
-        ok = g >= need
-        hi = jnp.where(ok, mid, hi)
-        lo = jnp.where(ok, lo, mid)
-    lam = hi[:, None]  # >= lam*: constraint satisfied, overshoot < 2^-iters
+    def g_of(mids):  # (S, B, fan) -> (S, B, fan)
+        return jnp.minimum(
+            aw[None, :, :, None] * mids[:, :, None, :], awp[..., None]
+        ).sum(-2) >= need[..., None]
 
-    d = -jnp.sign(w) * jnp.where(reachable[:, None], jnp.minimum(lam, p), p)
+    lam = _fan_search(g_of, jnp.zeros_like(need), jnp.ones_like(need),
+                      iters, fan)[..., None]
+    d = -jnp.sign(w) * s3 * jnp.where(
+        reachable[..., None], jnp.minimum(lam, p), p
+    )
     return d * nz
 
 
 def projection_l2_bisect(
     t: jax.Array, w: jax.Array, b: jax.Array, iters: int = 40
 ) -> jax.Array:
-    sign = 2.0 * ((w * t).sum(1) - b >= 0) - 1.0
-    w = w * sign[:, None]
-    need = (w * t).sum(1) - b * sign
+    d2 = projection_l2_bisect_pair(t[None], w, b[None], iters)
+    return d2[0]
 
-    nz = (jnp.abs(w) > 1e-8).astype(t.dtype)
-    p = jnp.where(w > 0, t, 1.0 - t)
-    w2 = w * w * nz
-    wp = jnp.abs(w) * p * nz  # |w_i| * p_i = w_i^2 * r_i
-    total = wp.sum(1)
+
+def projection_l2_bisect_pair(
+    t2: jax.Array, w: jax.Array, b2: jax.Array, iters: int = 40,
+    fan: int = 7,
+) -> jax.Array:
+    """L2 projection of S points per hyperplane (see the Linf pair form).
+
+    g(alpha) = sum_i min(alpha * w_i^2, |w_i| p_i); alpha* can span many
+    orders of magnitude (r_i up to p/|w| with tiny w), so the fan search
+    runs in log space between the unclipped lower bound and the largest
+    breakpoint.
+    """
+    sign = 2.0 * ((w * t2).sum(-1) - b2 >= 0) - 1.0  # (S, B)
+    s3 = sign[..., None]
+    need = ((w * t2).sum(-1) - b2) * sign
+
+    nz = (jnp.abs(w) > 1e-8).astype(t2.dtype)  # (B, D)
+    aw = jnp.abs(w)
+    p = jnp.where(w * s3 > 0, t2, 1.0 - t2)  # (S, B, D)
+    w2 = w * w * nz  # (B, D), sign-independent
+    wp = aw * p * nz  # (S, B, D)
+    total = wp.sum(-1)
     reachable = total >= need
 
-    # g(alpha) = sum_i min(alpha * w_i^2, |w_i| p_i); alpha* can span many
-    # orders of magnitude (r_i up to p/|w| with tiny w), so bisect in log
-    # space between the unclipped lower bound and the largest breakpoint.
-    w2sum = jnp.maximum(w2.sum(1), 1e-30)
+    w2sum = jnp.maximum(w2.sum(-1), 1e-30)  # (B,)
     lo = jnp.log(jnp.maximum(need, 1e-30) / w2sum)
     hi = jnp.log(
-        jnp.maximum(jnp.max(jnp.where(nz > 0, p / jnp.maximum(jnp.abs(w), 1e-30), 0.0), axis=1), 1e-30)
+        jnp.maximum(
+            jnp.max(
+                jnp.where(nz > 0, p / jnp.maximum(aw, 1e-30), 0.0), axis=-1
+            ),
+            1e-30,
+        )
     )
     hi = jnp.maximum(hi, lo + 1e-6)
-    for _ in range(iters):
-        mid = 0.5 * (lo + hi)
-        alpha = jnp.exp(mid)[:, None]
-        g = jnp.minimum(alpha * w2, wp).sum(1)
-        ok = g >= need
-        hi = jnp.where(ok, mid, hi)
-        lo = jnp.where(ok, lo, mid)
-    alpha = jnp.exp(hi)[:, None]
 
-    d = -jnp.sign(w) * jnp.where(
-        reachable[:, None], jnp.minimum(alpha * jnp.abs(w), p), p
+    def g_of(mids):  # log-space candidates (S, B, fan)
+        alpha = jnp.exp(mids)
+        return jnp.minimum(
+            w2[None, :, :, None] * alpha[:, :, None, :], wp[..., None]
+        ).sum(-2) >= need[..., None]
+
+    alpha = jnp.exp(_fan_search(g_of, lo, hi, iters, fan))[..., None]
+    d = -jnp.sign(w) * s3 * jnp.where(
+        reachable[..., None], jnp.minimum(alpha * aw, p), p
     )
     return d * nz
 

@@ -1,0 +1,339 @@
+"""Cross-framework output parity for the bookkeeping-heavy attacks.
+
+Deterministic variants of FAB, CW, APGDT and DeepFool run against a
+torch reimplementation of the reference loops on identical weights
+(same pattern as test_torch_parity.test_pgd_attack_output_parity):
+
+* FAB  — reference adversarial_attacks/torchattacks/attacks/fab.py:269-291
+  (first run is deterministic: use_rand_start=False). The torch loop
+  uses the repo's sort-based projections via numpy (their optimality is
+  pinned independently in tests/test_fab_projections.py), so this test
+  isolates the gradient chain + loop arithmetic.
+* CW   — cw.py:46-134 (tanh-space Adam, best-mask, periodic early stop).
+* APGDT— apgdt.py:104-222 (momentum a=0.75, oscillation-halved step
+  size); the jax random start is exported and fed to the torch loop so
+  both sides iterate from the same point.
+* DeepFool — deepfool.py:37-103 under the 2-class collapse both
+  implementations share (sign toward the currently-predicted class's
+  complement, per-sample freeze once fooled).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from adaa_tpu import models  # noqa: E402
+from adaa_tpu.attacks import core as attack_core  # noqa: E402
+from adaa_tpu.attacks import fab_projections as fp  # noqa: E402
+from adaa_tpu.models import torch_import  # noqa: E402
+from tests.oracles.torch_models import TorchLCNN  # noqa: E402
+from tests.test_torch_parity import _np_sd, _randomize_bn_stats  # noqa: E402
+
+B = 2
+WAVE_LEN = 16_000
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(torch oracle, jax module, imported variables, logits_fn)."""
+    torch.manual_seed(7)
+    oracle = TorchLCNN(input_channels=1, num_coefficients=80)
+    oracle.eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, np.random.default_rng(7))
+
+    module = models.get_model(
+        "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(7), wave_length=WAVE_LEN
+    )
+    variables = torch_import.import_state_dict("lcnn", _np_sd(oracle),
+                                               variables)
+    logits_fn = attack_core.make_logits_fn(module, variables)
+    return oracle, module, variables, logits_fn
+
+
+@pytest.fixture()
+def xy(pair):
+    rng = np.random.default_rng(11)
+    # interior of [0, 1] so CW's atanh stays finite
+    x01 = (0.02 + 0.96 * rng.random((B, WAVE_LEN))).astype(np.float32)
+    # labels = the oracle's own predictions so every sample starts
+    # "correctly classified" (all four attacks only move such points)
+    oracle = pair[0]
+    with torch.no_grad():
+        z = oracle(torch.from_numpy(x01)).numpy()[:, 0]
+    y = (z > 0).astype(np.int64)
+    return x01, y
+
+
+def _z_and_grad_torch(oracle, adv_t):
+    adv_t = adv_t.detach().requires_grad_(True)
+    z = oracle(adv_t)[:, 0]
+    (g,) = torch.autograd.grad(z.sum(), adv_t)
+    return z.detach(), g
+
+
+def test_fab_output_parity(pair, xy):
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    steps, eps, alpha_max, eta, beta = 3, 0.3, 0.1, 1.05, 0.9
+
+    # --- torch reference loop (fab.py:269-291, 2-class closed form) ---
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    y_sign = (1.0 - 2.0 * yt.float())
+    with torch.no_grad():
+        z0 = oracle(xt)[:, 0]
+    act = ((z0 > 0).long() == yt)
+    im2 = xt.clone()
+    adv_t = xt.clone()
+    res2 = torch.full((B,), 1e10)
+    x0 = xt.reshape(B, -1)
+    x1 = xt.clone()
+    for _ in range(steps):
+        z, g = _z_and_grad_torch(oracle, x1)
+        df = 2.0 * z * y_sign
+        dg = 2.0 * g * y_sign[:, None]
+        w = dg.reshape(B, -1)
+        bb = -df + (w * x1.reshape(B, -1)).sum(1)
+        t_cat = torch.cat([x1.reshape(B, -1), x0], 0).numpy()
+        w_cat = torch.cat([w, w], 0).numpy()
+        b_cat = torch.cat([bb, bb], 0).numpy()
+        d3 = torch.from_numpy(np.array(fp.projection_linf(
+            jnp.asarray(t_cat), jnp.asarray(w_cat), jnp.asarray(b_cat))))
+        d1 = d3[:B].reshape(x1.shape)
+        d2 = d3[B:].reshape(x1.shape)
+        a0 = torch.clamp(d3.abs().max(dim=1).values, min=1e-8)
+        a1 = a0[:B, None]
+        a2 = a0[B:, None]
+        alpha = torch.clamp(a1 / (a1 + a2), 0.0, alpha_max)
+        x1 = torch.clamp(
+            (x1 + eta * d1) * (1 - alpha) + (im2 + eta * d2) * alpha,
+            0.0, 1.0)
+        with torch.no_grad():
+            is_adv = (oracle(x1)[:, 0] > 0).long() != yt
+        t_norm = (x1 - im2).reshape(B, -1).abs().max(dim=1).values
+        better = is_adv & (t_norm < res2) & act
+        adv_t = torch.where(better[:, None], x1, adv_t)
+        res2 = torch.where(better, t_norm, res2)
+        x1 = torch.where(is_adv[:, None], im2 + (x1 - im2) * beta, x1)
+    success = (res2 < 1e10) & act
+    ref = torch.where(success[:, None], adv_t, xt).numpy()
+
+    # --- ours ---
+    from adaa_tpu.attacks.fab import fab
+
+    atk = fab(logits_fn, norm="Linf", eps=eps, steps=steps, n_restarts=1,
+              alpha_max=alpha_max, eta=eta, beta=beta)
+    # single_run path: attack() wraps with the restart bookkeeping
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+
+    # the restart wrapper only keeps runs that fool within the eps ball
+    with torch.no_grad():
+        still = (oracle(torch.from_numpy(ref))[:, 0] > 0).numpy()
+    ref_kept = np.where(
+        (((still > 0).astype(np.int64) != y)
+         & (np.abs(ref - x01).max(1) <= eps))[:, None],
+        ref, x01)
+    np.testing.assert_allclose(adv_j, ref_kept, atol=2e-4, rtol=1e-3)
+    assert np.abs(adv_j - x01).sum() > 0 or np.abs(ref_kept - x01).sum() == 0
+
+
+def test_cw_output_parity(pair, xy):
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    steps, c, lr = 3, 1.0, 0.01
+
+    # --- torch reference loop (cw.py:46-134) ---
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    w = (0.5 * torch.log((1 + (xt * 2 - 1)) / (1 - (xt * 2 - 1)))).detach()
+    w.requires_grad_(True)
+    best_adv = xt.clone()
+    best_l2 = torch.full((B,), 1e10)
+    prev_cost = 1e10
+    opt = torch.optim.Adam([w], lr=lr)
+    returned = None
+    for step in range(steps):
+        adv = 0.5 * (torch.tanh(w) + 1)
+        cur_l2 = ((adv - xt).reshape(B, -1) ** 2).sum(1)
+        z = oracle(adv)
+        out = torch.cat([-z, z], dim=1)
+        oh = torch.eye(2)[yt]
+        i = ((1 - oh) * out).max(dim=1).values
+        j = (oh * out).sum(dim=1)
+        f_loss = torch.clamp(j - i, min=0.0).sum()
+        cost = cur_l2.sum() + c * f_loss
+        opt.zero_grad()
+        cost.backward()
+        opt.step()
+        pre = out.detach().argmax(1)
+        correct = (pre == yt).float()
+        mask = (1 - correct) * (best_l2 > cur_l2.detach()).float()
+        best_l2 = mask * cur_l2.detach() + (1 - mask) * best_l2
+        best_adv = mask[:, None] * adv.detach() + (1 - mask[:, None]) * best_adv
+        if step % max(steps // 10, 1) == 0:
+            if cost.item() > prev_cost:
+                returned = best_adv
+                break
+            prev_cost = cost.item()
+    ref = (best_adv if returned is None else returned).numpy()
+
+    # --- ours ---
+    from adaa_tpu.attacks.cw import cw
+
+    atk = cw(logits_fn, c=c, kappa=0.0, steps=steps, lr=lr)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(adv_j, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_apgdt_output_parity(pair, xy):
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    steps, eps, rho = 4, 0.002, 0.75
+
+    # export the jax random start so both loops share it (apgd.py run())
+    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(key, 1)
+    t_noise = np.asarray(
+        2.0 * jax.random.uniform(keys[0], x01.shape, jnp.float32) - 1.0
+    )
+    denom = np.abs(t_noise).max(axis=1, keepdims=True)
+    x_adv0 = np.clip(x01 + eps * t_noise / denom, 0.0, 1.0).astype(np.float32)
+
+    # --- torch reference loop (apgdt.py:104-222, 2-class DLR) ---
+    steps_2 = max(int(0.22 * steps), 1)
+    steps_min = max(int(0.06 * steps), 1)
+    size_decr = max(int(0.03 * steps), 1)
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    y_sign = (2.0 * yt.float() - 1.0)
+
+    def dlr(z):  # targeted DLR, 2-class closed form
+        return -(y_sign * 2.0 * z) / (z.abs() + 1e-12)
+
+    x_adv = torch.from_numpy(x_adv0.copy())
+    z, g = _z_and_grad_torch(oracle, x_adv)
+    li = dlr(z)
+    grad = g * (-y_sign * 2.0 / (z.abs() + 1e-12) +
+                y_sign * 2.0 * z * torch.sign(z) / (z.abs() + 1e-12) ** 2)[:, None]
+    # grad of dlr wrt x via chain rule on z — equivalently autograd:
+    x_adv2 = x_adv.detach().requires_grad_(True)
+    zz = oracle(x_adv2)[:, 0]
+    (grad,) = torch.autograd.grad(dlr(zz).sum(), x_adv2)
+    li = dlr(zz).detach()
+    grad_best = grad.clone()
+    loss_best = li.clone()
+    x_best = x_adv.clone()
+    x_best_adv = x_adv.clone()
+    step_size = torch.full((B, 1), 2.0 * eps)
+    x_adv_old = x_adv.clone()
+    loss_steps = torch.zeros(steps, B)
+    loss_best_last_check = loss_best.clone()
+    reduced_last_check = np.ones(B, bool)
+    counter3, k = 0, steps_2
+    for i in range(steps):
+        a = 0.75 if i > 0 else 1.0
+        grad2 = x_adv - x_adv_old
+        x_adv_old = x_adv.clone()
+        x1 = x_adv + step_size * torch.sign(grad)
+        x1 = torch.clamp(torch.min(torch.max(x1, xt - eps), xt + eps), 0, 1)
+        x1 = torch.clamp(
+            torch.min(torch.max(x_adv + (x1 - x_adv) * a + grad2 * (1 - a),
+                                xt - eps), xt + eps), 0, 1)
+        x_adv = x1
+        x_adv2 = x_adv.detach().requires_grad_(True)
+        zz = oracle(x_adv2)[:, 0]
+        li = dlr(zz)
+        (grad,) = torch.autograd.grad(li.sum(), x_adv2)
+        li = li.detach()
+        pred_wrong = ((zz.detach() > 0).long() != yt)
+        x_best_adv = torch.where(pred_wrong[:, None], x_adv, x_best_adv)
+        improved = li > loss_best
+        x_best = torch.where(improved[:, None], x_adv, x_best)
+        grad_best = torch.where(improved[:, None], grad, grad_best)
+        loss_best = torch.where(improved, li, loss_best)
+        loss_steps[i] = li
+        counter3 += 1
+        if counter3 == k:
+            t = torch.zeros(B)
+            for c5 in range(k):
+                prev = loss_steps[i - c5 - 1] if i - c5 - 1 >= 0 \
+                    else torch.full((B,), -np.inf)
+                t += (loss_steps[i - c5] > prev).float()
+            fl_osc = (t <= k * rho).numpy()
+            fl_red = (~reduced_last_check) & \
+                (loss_best_last_check.numpy() >= loss_best.numpy())
+            fl_osc = fl_osc | fl_red
+            reduced_last_check = fl_osc.copy()
+            loss_best_last_check = loss_best.clone()
+            osc = torch.from_numpy(fl_osc)
+            step_size = torch.where(osc[:, None], step_size / 2, step_size)
+            x_adv = torch.where(osc[:, None], x_best, x_adv)
+            grad = torch.where(osc[:, None], grad_best, grad)
+            counter3 = 0
+            k = max(k - size_decr, steps_min)
+    # perturb(): keep adv only for samples the run fooled
+    with torch.no_grad():
+        z_init = oracle(xt)[:, 0]
+    acc0 = ((z_init > 0).long() == yt)
+    with torch.no_grad():
+        z_fin = (oracle(x_best_adv)[:, 0] > 0).long()
+    fooled = acc0 & (z_fin != yt)
+    # acc_curr from the run's running acc: approximated by final pred
+    ref = torch.where(fooled[:, None], x_best_adv, xt).numpy()
+
+    # --- ours ---
+    from adaa_tpu.attacks.apgd import apgdt
+
+    atk = apgdt(logits_fn, norm="Linf", eps=eps, steps=steps, n_restarts=1,
+                rho=rho)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           key))
+
+    agree = np.mean(np.abs(adv_j - ref) < 1e-5)
+    assert agree > 0.95, f"only {agree:.4%} of coordinates match"
+    assert np.abs(adv_j - x01).max() <= eps + 1e-6
+
+
+@pytest.mark.parametrize("steps,atol", [(1, 1e-5), (3, 5e-3)])
+def test_deepfool_output_parity(pair, xy, steps, atol):
+    """One step is coordinate-tight. Across steps DeepFool is chaotic:
+    delta = |f'| w' / ||w'||^2 amplifies input noise ~100x per step
+    (measured: 1e-7 jit-fusion reordering noise grows to ~7e-4 by step
+    3), so multi-step parity is pinned at a drift-bounded tolerance."""
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    overshoot = 0.02
+
+    # --- torch loop (deepfool.py:37-103 under the 2-class collapse) ---
+    adv_t = torch.from_numpy(x01.copy())
+    yt = torch.from_numpy(y)
+    for _ in range(steps):
+        z, g = _z_and_grad_torch(oracle, adv_t)
+        pred = (z > 0).long()
+        still = (pred == yt)
+        sign = (1.0 - 2.0 * pred.float())
+        f_prime = 2.0 * z * sign
+        w_prime = 2.0 * g * sign[:, None]
+        w_norm2 = (w_prime.reshape(B, -1) ** 2).sum(1) + 1e-12
+        delta = (f_prime.abs() / w_norm2)[:, None] * w_prime
+        adv_new = torch.clamp(adv_t + (1 + overshoot) * delta, 0, 1)
+        adv_t = torch.where(still[:, None], adv_new, adv_t)
+    ref = adv_t.numpy()
+
+    # --- ours ---
+    from adaa_tpu.attacks.extra import deepfool
+
+    atk = deepfool(logits_fn, steps=steps, overshoot=overshoot)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(adv_j, ref, atol=atol, rtol=1e-3)
+    assert np.abs(adv_j - x01).sum() > 0  # the attack actually moved

@@ -155,3 +155,36 @@ class TestProjections:
         for proj in (fp.projection_linf, fp.projection_l2, fp.projection_l1):
             d = np.asarray(proj(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
             assert np.abs(d).max() < 1e-4
+
+
+class TestPairForms:
+    """The (S, B, D) pair forms FAB uses must match the single forms
+    per slice — same hyperplane, two different points, shared w."""
+
+    def test_linf_pair_matches_single(self, rng):
+        t, w, b = _instances(rng)
+        t_alt = rng.random((B, D)).astype(np.float32)
+        t2 = jnp.stack([jnp.asarray(t), jnp.asarray(t_alt)], 0)
+        b2 = jnp.stack([jnp.asarray(b)] * 2, 0)
+        d_pair = np.asarray(
+            fp.projection_linf_bisect_pair(t2, jnp.asarray(w), b2)
+        )
+        for s, ts in enumerate([t, t_alt]):
+            d_single = np.asarray(fp.projection_linf(
+                jnp.asarray(ts), jnp.asarray(w), jnp.asarray(b)))
+            np.testing.assert_allclose(d_pair[s], d_single,
+                                       atol=3e-6, rtol=1e-4)
+
+    def test_l2_pair_matches_single(self, rng):
+        t, w, b = _instances(rng)
+        t_alt = rng.random((B, D)).astype(np.float32)
+        t2 = jnp.stack([jnp.asarray(t), jnp.asarray(t_alt)], 0)
+        b2 = jnp.stack([jnp.asarray(b)] * 2, 0)
+        d_pair = np.asarray(
+            fp.projection_l2_bisect_pair(t2, jnp.asarray(w), b2)
+        )
+        for s, ts in enumerate([t, t_alt]):
+            d_single = np.asarray(fp.projection_l2(
+                jnp.asarray(ts), jnp.asarray(w), jnp.asarray(b)))
+            np.testing.assert_allclose(d_pair[s], d_single,
+                                       atol=5e-5, rtol=1e-3)
