@@ -64,12 +64,19 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         decoded = _native.flac_decode(path)
         if decoded is not None:
             return decoded
+    if path.endswith(".mp3"):
+        from adaa_tpu.data import mp3 as _mp3
+
+        decoded = _mp3.mp3_decode(path)
+        if decoded is not None:
+            return decoded
     if _soundfile is not None:
         data, sr = _soundfile.read(path, dtype="float32", always_2d=True)
         return data.T.astype(np.float32), int(sr)
     raise RuntimeError(
         f"Cannot decode {path}: flac needs the native library "
-        "(make -C native) and mp3 the optional 'soundfile' dependency."
+        "(make -C native), mp3 the system libmpg123, and other formats "
+        "the optional 'soundfile' dependency."
     )
 
 

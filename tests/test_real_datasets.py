@@ -4,8 +4,8 @@ FakeAVCeleb trees; here we synthesize directory structures).
 
 WaveFake uses wav and ASVspoof2021-DF flac — both decodable natively
 (flac via native/adaa_dsp.cpp, streams generated with the test encoder
-in tests/oracles/flac_writer.py). FakeAVCeleb (mp3) stays
-manifest-level — mp3 decode needs the optional soundfile dependency.
+in tests/oracles/flac_writer.py). FakeAVCeleb decode-level coverage
+lives in tests/test_mp3.py (system libmpg123 via adaa_tpu/data/mp3.py).
 """
 import numpy as np
 import pytest
