@@ -5,13 +5,25 @@ src/aa/qualitative/attacks_postanalysis.py:15-128): waveform overlay
 plots of original vs attacked segments, and mel-cepstral distance
 statistics (mean/std/min/max) exported to csv.
 
-MCD here is a native implementation (the reference imports the
-``mel_cepstral_distance`` package): mel cepstra from our own
-STFT/mel/DCT pipeline on host, DTW-aligned, with the standard
-Kubichek formula ``(10 / ln 10) * sqrt(2 * sum_k (c1_k - c2_k)^2)``
-averaged over aligned frames, skipping c0. Absolute values can differ
-slightly from the reference package (different mel/window defaults);
-relative comparisons across attacks are preserved.
+MCD here is a native reimplementation of the ``mel_cepstral_distance``
+package's pipeline (the reference imports it at
+attacks_postanalysis.py:7,108), matching its defaults step for step:
+
+* audio loaded mono and resampled to 22 050 Hz (librosa.load default)
+* STFT n_fft=1024, hop=256, periodic hamming window, center=False
+* power mel spectrogram, 20 htk-scale mels, no filter normalization
+* log10(mel + float64 eps), then the plain cosine transform
+  ``c_i(m) = sum_k logmel_k(m) * cos(pi * i / K * (k + 0.5))``
+  keeping coefficients i = 1..16 (c0 omitted; no dB scaling — the
+  package reports the raw log10-cepstral distance)
+* DTW alignment (euclidean frame distance, steps (1,1)/(1,0)/(0,1)
+  of weight 1), MCD = mean frame distance along the optimal path,
+  ``penalty = 2 - (frames_1 + frames_2) / aligned_frames``
+
+The formula constants are pinned by tests/test_eval.py on constructed
+mel inputs. Remaining caveat (package not installable in this image):
+its exact DTW tie-breaking order is unverified here; ties between
+equal-cost paths are measure-zero for real audio.
 """
 from __future__ import annotations
 
@@ -25,34 +37,59 @@ import pandas as pd
 LOGGER = logging.getLogger(__name__)
 
 
+_PKG_SR = 22_050  # librosa.load's default resample rate
+
+
 def mel_cepstra(
     wave: np.ndarray,
     sr: int = 16_000,
-    n_fft: int = 512,
-    hop: int = 160,
-    win: int = 400,
+    n_fft: int = 1024,
+    hop: int = 256,
     n_mels: int = 20,
+    n_mfcc: int = 16,
 ) -> np.ndarray:
-    """Host-side mel cepstra (frames, n_mels) for MCD."""
-    from adaa_tpu.ops.filterbanks import create_dct, melscale_fbanks
-    from adaa_tpu.ops.stft import hann_window
+    """Host-side mel cepstra (frames, n_mfcc) — the package's features.
 
-    wave = np.asarray(wave, np.float64)
+    Returns coefficients c_1..c_{n_mfcc} per frame (c0 omitted, as in
+    ``mel_cepstral_distance.get_mfccs_of_mel_spectogram``).
+    """
+    import sys as _sys
+
+    from adaa_tpu.ops.filterbanks import melscale_fbanks
+
+    wave = np.asarray(wave)
     if wave.dtype.kind == "i":
-        wave = wave / np.iinfo(wave.dtype).max
-    pad = n_fft // 2
-    x = np.pad(wave, pad, mode="reflect")
-    n_frames = 1 + (len(x) - n_fft) // hop
-    window = np.zeros(n_fft)
-    left = (n_fft - win) // 2
-    window[left : left + win] = hann_window(win).astype(np.float64)
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = x[idx] * window
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (T, F)
-    fb = melscale_fbanks(n_fft // 2 + 1, 0.0, sr / 2, 80, sr).astype(np.float64)
-    mel = np.log10(np.maximum(spec @ fb, 1e-10))
-    dct = create_dct(n_mels, 80, norm="ortho").astype(np.float64)
-    return mel @ dct  # (T, n_mels)
+        wave = wave.astype(np.float64) / np.iinfo(wave.dtype).max
+    wave = np.asarray(wave, np.float64)
+    if wave.ndim > 1:
+        wave = wave.mean(axis=0)
+    if sr != _PKG_SR:
+        from adaa_tpu.data.base import resample_wave
+
+        resampled, _ = resample_wave(
+            wave[None].astype(np.float32), sr, _PKG_SR
+        )
+        wave = np.asarray(resampled[0], np.float64)
+        sr = _PKG_SR
+
+    # center=False framing with a periodic hamming window of n_fft
+    n_frames = max(1 + (len(wave) - n_fft) // hop, 0)
+    if n_frames == 0:
+        return np.zeros((0, n_mfcc))
+    n = np.arange(n_fft)
+    window = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / n_fft)
+    idx = np.arange(n_frames)[:, None] * hop + n[None, :]
+    frames = wave[idx] * window
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # power, (T, F)
+    fb = melscale_fbanks(
+        n_fft // 2 + 1, 0.0, sr / 2, n_mels, sr, mel_scale="htk", norm=None
+    ).astype(np.float64)
+    logmel = np.log10(spec @ fb + _sys.float_info.epsilon)  # (T, n_mels)
+    # plain cosine transform, coefficients 1..n_mfcc
+    i = np.arange(1, n_mfcc + 1)[None, :]
+    k = np.arange(n_mels)[:, None]
+    cos_tab = np.cos(np.pi * i / n_mels * (k + 0.5))  # (n_mels, n_mfcc)
+    return logmel @ cos_tab  # (T, n_mfcc)
 
 
 def _dtw_path_cost(d: np.ndarray) -> Tuple[float, int]:
@@ -80,18 +117,20 @@ def _dtw_path_cost(d: np.ndarray) -> Tuple[float, int]:
 def mel_cepstral_distance(
     wave1: np.ndarray, wave2: np.ndarray, sr: int = 16_000
 ) -> Tuple[float, float, int]:
-    """(mcd, penalty, frames) between two waves — API shape of
-    ``mel_cepstral_distance.get_metrics_wavs``."""
-    c1 = mel_cepstra(wave1, sr)[:, 1:]  # skip c0
-    c2 = mel_cepstra(wave2, sr)[:, 1:]
-    const = 10.0 / np.log(10.0) * np.sqrt(2.0)
-    # pairwise frame distances
+    """(mcd, penalty, frames) between two waves — semantics of
+    ``mel_cepstral_distance.get_metrics_wavs``: MCD is the mean
+    euclidean distance of the c_1..c_16 log10 mel cepstra along the
+    DTW path; ``penalty = 2 - (n1 + n2) / aligned_frames``."""
+    c1 = mel_cepstra(wave1, sr)
+    c2 = mel_cepstra(wave2, sr)
+    if len(c1) == 0 or len(c2) == 0:
+        return float("nan"), float("nan"), 0
     diff = c1[:, None, :] - c2[None, :, :]
-    d = const * np.sqrt((diff * diff).sum(-1))
+    d = np.sqrt((diff * diff).sum(-1))  # pairwise frame distances
     cost, path_len = _dtw_path_cost(d)
     frames = path_len
-    penalty = 1.0 - (min(len(c1), len(c2)) / frames if frames else 0.0)
-    return cost / max(frames, 1), penalty, frames
+    penalty = 2.0 - (len(c1) + len(c2)) / frames
+    return cost / frames, penalty, frames
 
 
 class AttackPostAnalyser:

@@ -191,3 +191,60 @@ def test_postanalysis_mcd(tmp_path):
     assert by_name["b"] < 1e-6  # identical pair
     assert by_name["a"] > by_name["b"]  # noise raises MCD
     assert (d / "mcd_metrics.csv").exists()
+
+
+def test_mcd_formula_constants():
+    """Pin the package-parity constants of the MCD pipeline
+    (mel_cepstral_distance semantics, see eval/postanalysis.py):
+
+    * cepstra are log10 mel energies through the PLAIN cosine
+      transform c_i = sum_k logmel_k cos(pi i (k+.5)/K), i=1..16
+    * MCD = mean euclidean frame distance (no dB scaling)
+    * penalty = 2 - (n1+n2)/aligned_frames
+    """
+    from adaa_tpu.eval import postanalysis as pa
+
+    # constructed log-mel input: bypass the wave path and check the
+    # cosine transform exactly
+    n_mels, n_mfcc = 20, 16
+    k = np.arange(n_mels)
+    logmel = np.zeros((3, n_mels))
+    logmel[1] = np.cos(np.pi * 5 * (k + 0.5) / n_mels)  # pure c_5 mode
+    i = np.arange(1, n_mfcc + 1)[None, :]
+    cos_tab = np.cos(np.pi * i / n_mels * (k[:, None] + 0.5))
+    c = logmel @ cos_tab
+    # orthogonality: frame 1 projects onto coefficient 5 only (= K/2)
+    assert abs(c[1, 4] - n_mels / 2) < 1e-9
+    assert np.abs(np.delete(c[1], 4)).max() < 1e-9
+
+    # DTW identity path on equal-length inputs: MCD is the plain mean,
+    # penalty exactly 0
+    d = np.zeros((4, 4)) + 7.0
+    np.fill_diagonal(d, 1.0)
+    cost, path_len = pa._dtw_path_cost(d)
+    assert path_len == 4 and abs(cost - 4.0) < 1e-12
+
+    # penalty formula: aligning 3 vs 5 frames takes >= 5 path steps
+    c1 = np.arange(3, dtype=np.float64)[:, None] * np.ones((1, 16))
+    c2 = np.arange(5, dtype=np.float64)[:, None] * np.ones((1, 16))
+    diff = c1[:, None, :] - c2[None, :, :]
+    dd = np.sqrt((diff * diff).sum(-1))
+    _, plen = pa._dtw_path_cost(dd)
+    assert plen >= 5
+    penalty = 2.0 - (3 + 5) / plen
+    assert 0.0 <= penalty < 1.0
+
+
+def test_mcd_resamples_to_package_rate():
+    """librosa.load (inside the package) resamples to 22 050 Hz; the
+    native pipeline must do the same so frame counts match."""
+    from adaa_tpu.eval import postanalysis as pa
+
+    sr = 16_000
+    t = np.arange(sr) / sr
+    wave = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    c = pa.mel_cepstra(wave, sr)
+    # 1 s at 22050 with n_fft 1024 hop 256 center=False
+    expected = 1 + (22_050 - 1024) // 256
+    assert abs(c.shape[0] - expected) <= 1  # resampler edge tolerance
+    assert c.shape[1] == 16
