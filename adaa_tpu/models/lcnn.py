@@ -207,7 +207,7 @@ class LCNN(nn.Module):
         )
         if fold:
 
-            def fconv(h, feat, k, in_feat, name, bn_name):
+            def fold_params(feat, k, in_feat, name, bn_name):
                 kernel, bias = _ConvParams(feat, k, in_feat, name=name)()
                 if bn_name is not None:
                     m, v = _BNStats(feat // 2, name=bn_name)()
@@ -216,6 +216,10 @@ class LCNN(nn.Module):
                     s2 = jnp.concatenate([s, s])
                     kernel = kernel * s2
                     bias = bias * s2 + jnp.concatenate([t, t])
+                return kernel, bias
+
+            def fconv(h, feat, k, in_feat, name, bn_name):
+                kernel, bias = fold_params(feat, k, in_feat, name, bn_name)
                 y = jax.lax.conv_general_dilated(
                     h.astype(dtype),
                     kernel.astype(dtype),
@@ -225,12 +229,37 @@ class LCNN(nn.Module):
                 )
                 return mfm(y + bias.astype(dtype))
 
-            h = fconv(h, 64, 1, 32, "conv3", "bn5")
-            h = fconv(h, 96, 3, 32, "conv6", "bn9")
-            h = pool(h)
-            h = fconv(h, 96, 1, 48, "conv10", "bn12")
-            h = fconv(h, 128, 3, 48, "conv13", None)
-            h = pool(h)
+            # conv3..conv13 (+ their pools) run as two fused Pallas
+            # segments at the canonical frontend shape — the XLA
+            # schedule materializes ~1.3 GB of intermediates per
+            # batch-256 forward in the first segment alone
+            # (ops/pallas_trunk.py). ADAA_FUSED_TRUNK=0 forces the
+            # conv-chain path.
+            fuse_trunk = (
+                h.shape[1:] == (202, 40, 32)
+                and os.environ.get("ADAA_FUSED_TRUNK") != "0"
+            )
+            if fuse_trunk:
+                from adaa_tpu.ops.pallas_trunk import (
+                    SEGMENT_A, SEGMENT_B, fused_segment,
+                )
+
+                interp = jax.default_backend() == "cpu"
+                ka, ba_ = fold_params(64, 1, 32, "conv3", "bn5")
+                kb, bb_ = fold_params(96, 3, 32, "conv6", "bn9")
+                h = fused_segment(h, ka, ba_, kb, bb_, SEGMENT_A,
+                                  interp, train)
+                ka, ba_ = fold_params(96, 1, 48, "conv10", "bn12")
+                kb, bb_ = fold_params(128, 3, 48, "conv13", None)
+                h = fused_segment(h, ka, ba_, kb, bb_, SEGMENT_B,
+                                  interp, train)
+            else:
+                h = fconv(h, 64, 1, 32, "conv3", "bn5")
+                h = fconv(h, 96, 3, 32, "conv6", "bn9")
+                h = pool(h)
+                h = fconv(h, 96, 1, 48, "conv10", "bn12")
+                h = fconv(h, 128, 3, 48, "conv13", None)
+                h = pool(h)
             h = fconv(h, 128, 1, 64, "conv16", "bn18")
             h = fconv(h, 64, 3, 64, "conv19", "bn21")
             h = fconv(h, 64, 1, 32, "conv22", "bn24")

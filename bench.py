@@ -78,8 +78,12 @@ def measure_jax(batch: int, iters: int = 10, warmup: int = 2,
     return batch * iters / dt
 
 
-def measure_torch_cpu(batch: int = 8, iters: int = 2) -> float:
-    """Reference-style torch-CPU PGD-10 throughput (python step loop)."""
+def measure_torch_cpu(batch: int = 64, iters: int = 3, repeats: int = 3) -> float:
+    """Reference-style torch-CPU PGD-10 throughput (python step loop).
+
+    Measured at batch 64 (the reference eval batch size), best-of-
+    ``repeats`` over ``iters`` timed attack batches each — a sturdier
+    denominator than the original batch-8 x 2-iteration snapshot."""
     import sys
 
     sys.path.insert(0, str(Path(__file__).parent))
@@ -118,11 +122,14 @@ def measure_torch_cpu(batch: int = 8, iters: int = 2) -> float:
     y = torch.from_numpy((np.arange(batch) % 2).astype("int64"))
 
     attack(x, y)  # warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        attack(x, y)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            attack(x, y)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    return best
 
 
 def get_baseline(remeasure: bool) -> float:
@@ -131,7 +138,8 @@ def get_baseline(remeasure: bool) -> float:
     val = measure_torch_cpu()
     BASELINE_CACHE.write_text(
         json.dumps({"torch_cpu_examples_per_sec": val,
-                    "config": "PGD-10 LCNN+LFCC batch=8 torch-cpu"})
+                    "config": "PGD-10 LCNN+LFCC batch=64 torch-cpu, "
+                              "best-of-3 x 3 attack batches"})
     )
     return val
 
