@@ -179,16 +179,84 @@ class TorchLSTM(nn.Module):
         return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
+class _LSTMParams(nn.Module):
+    """Parameter-only twin of TorchLSTM (same tree: {name}/{weight_ih,
+    weight_hh, bias_ih, bias_hh}) so BiLSTM can run both directions in
+    one scan without changing the checkpoint layout."""
+
+    hidden_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        d, h = self.in_features, self.hidden_size
+        bound = 1.0 / math.sqrt(h)
+        return (
+            self.param("weight_ih", uniform_init(bound), (d, 4 * h)),
+            self.param("weight_hh", uniform_init(bound), (h, 4 * h)),
+            self.param("bias_ih", uniform_init(bound), (4 * h,)),
+            self.param("bias_hh", uniform_init(bound), (4 * h,)),
+        )
+
+
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM, concat outputs — torch.nn.LSTM(bidirectional=True)."""
+    """Bidirectional LSTM, concat outputs — torch.nn.LSTM(bidirectional=True).
+
+    Both directions run in ONE ``lax.scan``: the recurrences share a
+    block-diagonal (2H, 8H) hidden weight so each step is a single
+    matmul instead of two, and the sequential step count halves — the
+    recurrence is latency-bound on TPU (tiny per-step matmuls), so
+    fewer, larger steps are strictly faster. The block-diagonal zero
+    products add exact 0.0 terms, leaving each direction's math
+    bit-identical to the separate-scan form.
+    """
 
     hidden_size: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        fwd = TorchLSTM(self.hidden_size, reverse=False, name="fwd")(x)
-        bwd = TorchLSTM(self.hidden_size, reverse=True, name="bwd")(x)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        d = x.shape[-1]
+        h = self.hidden_size
+        wf = _LSTMParams(h, d, name="fwd")()
+        wb = _LSTMParams(h, d, name="bwd")()
+
+        # input projections: one (D, 8H) matmul for both directions
+        w_ih = jnp.concatenate([wf[0], wb[0]], axis=1)
+        bias = jnp.concatenate([wf[2] + wf[3], wb[2] + wb[3]])
+        gx = jnp.einsum("btd,dg->btg", x, w_ih) + bias  # (B, T, 8H)
+        gx = jnp.swapaxes(gx, 0, 1)  # (T, B, 8H)
+        gates = jnp.concatenate(
+            [gx[:, :, : 4 * h], jnp.flip(gx[:, :, 4 * h :], axis=0)],
+            axis=-1,
+        )
+
+        w_hh = jnp.zeros((2 * h, 8 * h), x.dtype)
+        w_hh = w_hh.at[:h, : 4 * h].set(wf[1])
+        w_hh = w_hh.at[h:, 4 * h :].set(wb[1])
+
+        b = x.shape[0]
+
+        def step(carry, g_in):
+            h_prev, c_prev = carry  # (B, 2, H) each
+            g = g_in + h_prev.reshape(b, 2 * h) @ w_hh  # (B, 8H)
+            gr = g.reshape(b, 2, 4, h)
+            i = jax.nn.sigmoid(gr[:, :, 0])
+            f = jax.nn.sigmoid(gr[:, :, 1])
+            gg = jnp.tanh(gr[:, :, 2])
+            o = jax.nn.sigmoid(gr[:, :, 3])
+            c = f * c_prev + i * gg
+            hh = o * jnp.tanh(c)
+            return (hh, c), hh
+
+        init = (
+            jnp.zeros((b, 2, h), x.dtype),
+            jnp.zeros((b, 2, h), x.dtype),
+        )
+        _, ys = jax.lax.scan(step, init, gates)  # (T, B, 2, H)
+        out = jnp.concatenate(
+            [ys[:, :, 0], jnp.flip(ys[:, :, 1], axis=0)], axis=-1
+        )
+        return jnp.swapaxes(out, 0, 1)  # (B, T, 2H)
 
 
 class TorchGRU(nn.Module):

@@ -229,15 +229,18 @@ class LCNN(nn.Module):
                 )
                 return mfm(y + bias.astype(dtype))
 
-            # conv3..conv13 (+ their pools) run as two fused Pallas
-            # segments at the canonical frontend shape — the XLA
-            # schedule materializes ~1.3 GB of intermediates per
-            # batch-256 forward in the first segment alone
-            # (ops/pallas_trunk.py). ADAA_FUSED_TRUNK=0 forces the
-            # conv-chain path.
+            # conv3..conv13 (+ their pools) CAN run as two fused Pallas
+            # segments (ops/pallas_trunk.py, ADAA_FUSED_TRUNK=1), but
+            # the measured verdict is the same as round 2's mid-layer
+            # experiments: at these shapes (32-128 channels, ~620-row
+            # plane chunks) the roll-heavy kernels bottleneck on VPU
+            # shuffles and grid overhead and lose to XLA's conv
+            # machinery ~19x (80 vs 4.3 ms batch-256 segment-A fwd on
+            # v5e). Default stays on XLA; the kernels remain as a
+            # tested, documented negative result.
             fuse_trunk = (
                 h.shape[1:] == (202, 40, 32)
-                and os.environ.get("ADAA_FUSED_TRUNK") != "0"
+                and os.environ.get("ADAA_FUSED_TRUNK") == "1"
             )
             if fuse_trunk:
                 from adaa_tpu.ops.pallas_trunk import (

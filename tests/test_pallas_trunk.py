@@ -202,8 +202,8 @@ class TestFusedSegment:
 @pytest.mark.slow
 def test_lcnn_fused_trunk_matches_conv_chain(rng, monkeypatch):
     """Model wiring at the canonical frontend shape: the fused-segment
-    path and the ADAA_FUSED_TRUNK=0 conv-chain path produce the same
-    logits on shared params (and the same param tree)."""
+    (opt-in, ADAA_FUSED_TRUNK=1) and the default conv-chain path
+    produce the same logits on shared params (same param tree)."""
     from adaa_tpu import models
 
     module = models.get_model(
@@ -227,9 +227,8 @@ def test_lcnn_fused_trunk_matches_conv_chain(rng, monkeypatch):
     )
     variables = {**variables, "batch_stats": stats}
 
-    monkeypatch.setenv("ADAA_FUSED_TRUNK", "0")
     ref = np.asarray(module.apply(variables, wave, train=False))
-    monkeypatch.delenv("ADAA_FUSED_TRUNK")
+    monkeypatch.setenv("ADAA_FUSED_TRUNK", "1")
     got = np.asarray(module.apply(variables, wave, train=False))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
     assert np.abs(got).sum() > 0
