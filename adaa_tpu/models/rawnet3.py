@@ -22,6 +22,7 @@ Layout: channels-last (B, T, C) 1D convs.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -30,6 +31,52 @@ import numpy as np
 from flax import linen as nn
 
 from adaa_tpu.models import layers
+
+
+class _Conv1dParams(nn.Module):
+    """Parameter-only twin of a 1D nn.Conv (same tree: {name}/{kernel[,bias]})."""
+
+    features: int
+    ksize: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", layers.kaiming_uniform_conv,
+            (self.ksize, self.in_features, self.features),
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Twin of an affine nn.BatchNorm (params scale/bias + batch_stats)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
 
 
 def _sinc_init_hz(cutoff: int, sample_rate: float, min_low_hz: float, min_band_hz: float):
@@ -60,7 +107,7 @@ class ParamSincFB(nn.Module):
     min_band_hz: float = 50.0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cutoff = self.n_filters // 2
         init_low, init_band = _sinc_init_hz(
             cutoff, self.sample_rate, self.min_low_hz, self.min_band_hz
@@ -103,15 +150,26 @@ class ParamSincFB(nn.Module):
         ) / (2.0 * band[:, None])
 
         filters = jnp.concatenate([cos_filt, sin_filt], axis=0)  # (n_filt, ks)
-        kern = filters.T[:, None, :]  # (ks, 1, n_filt) HIO
 
-        return jax.lax.conv_general_dilated(
-            x,  # (B, L, 1)
-            kern,
-            window_strides=(self.stride,),
-            padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
+        # Strided conv with a closed-form VJP: the automatic input-grad
+        # of a stride-10 conv is the transposed-conv XLA:TPU pathology
+        # and attacks differentiate through the encoder every step
+        # (ops/sinc_conv.py). Filter cotangents only exist on train
+        # paths (need_dw) — NaN otherwise, failing loudly if consumed.
+        if os.environ.get("ADAA_SINC_VJP") == "0":
+            return jax.lax.conv_general_dilated(
+                x,  # (B, L, 1)
+                filters.T[:, None, :],  # (ks, 1, n_filt) HIO
+                window_strides=(self.stride,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+            )  # (B, T, n_filt)
+        from adaa_tpu.ops.sinc_conv import sinc_conv
+
+        return sinc_conv(
+            x[..., 0] if x.ndim == 3 else x,
+            filters, self.stride, need_dw=train,
         )  # (B, T, n_filt)
 
 
@@ -150,6 +208,30 @@ class Bottle2neck(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         width = self.planes // self.scale
         nums = self.scale - 1
+
+        # OPT-IN (negative result, kept tested + documented): a bf16
+        # eval path that folds the BatchNorms to affines and runs the
+        # seven scale convs as one lax.scan over stacked weights. It
+        # does cut the conv-body count (compile 462 s -> 74 s for
+        # PGD-10 before the sinc VJP landed) but measured SLOWER at
+        # runtime than the unrolled flax path on v5e (103 vs 79 ms per
+        # batch-64 grad step): the (B, T, scale*w) <-> (scale, B, T, w)
+        # stack/unstack transposes around the scan move ~1.6 GB of
+        # layer-1 activations per direction, and XLA already fuses the
+        # eval BN affine into the conv epilogue on the unrolled path —
+        # folding buys nothing XLA hadn't. The real compile hog was the
+        # sinc encoder's transposed-conv input-grad, fixed by
+        # ops/sinc_conv.py's closed-form VJP (always on). The default
+        # is therefore the unrolled path; ADAA_RAWNET_SCAN=1 selects
+        # the scan variant (same param tree, bit-comparable logits).
+        fast = (
+            self.compute_dtype == jnp.bfloat16
+            and not train
+            and os.environ.get("ADAA_RAWNET_SCAN") == "1"
+        )
+        if fast:
+            return self._fast_eval(x, width, nums)
+
         bn = lambda name: layers.torch_batch_norm(
             name=name, dtype=self.compute_dtype)
         conv1x1 = lambda f, name, bias=True: nn.Conv(
@@ -195,6 +277,80 @@ class Bottle2neck(nn.Module):
             out = layers.max_pool_1d(out, self.pool)
         return AFMS(self.planes, name="afms")(out)
 
+    def _fast_eval(self, x: jax.Array, width: int, nums: int) -> jax.Array:
+        dt = self.compute_dtype
+
+        def bn_affine(name, feat):
+            sc, bi, mu, va = _BNParams(feat, name=name)()
+            s = sc / jnp.sqrt(va + 1e-5)
+            t = bi - mu * s
+            return s.astype(dt), t.astype(dt)
+
+        def conv1x1p(h, name, feat, in_feat, bias=True):
+            k, b = _Conv1dParams(
+                feat, 1, in_feat, use_bias=bias, name=name)()
+            y = jax.lax.conv_general_dilated(
+                h, k.astype(dt), (1,), "VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"))
+            return y if b is None else y + b.astype(dt)
+
+        x = x.astype(dt)
+        residual = x
+        if self.inplanes != self.planes:
+            residual = conv1x1p(
+                x, "residual", self.planes, self.inplanes, bias=False)
+
+        out = conv1x1p(x, "conv1", width * self.scale, self.inplanes)
+        s1, t1 = bn_affine("bn1", width * self.scale)
+        out = nn.relu(out) * s1 + t1
+
+        kst, bst, sst, tst = [], [], [], []
+        for i in range(nums):
+            k, b = _Conv1dParams(
+                width, self.kernel_size, width, name=f"convs_{i}")()
+            s, t = bn_affine(f"bns_{i}", width)
+            kst.append(k)
+            bst.append(b)
+            sst.append(s)
+            tst.append(t)
+        kst = jnp.stack(kst).astype(dt)
+        bst = jnp.stack(bst).astype(dt)
+        sst = jnp.stack(sst)
+        tst = jnp.stack(tst)
+
+        bsz, tlen = out.shape[0], out.shape[1]
+        spx = jnp.moveaxis(
+            out.reshape(bsz, tlen, self.scale, width), 2, 0
+        )  # (scale, B, T, width)
+        num_pad = (self.kernel_size // 2) * self.dilation
+
+        def step(sp, xs):
+            k, b, s, t, spx_i = xs
+            h = sp + spx_i
+            y = jax.lax.conv_general_dilated(
+                h, k, (1,), [(num_pad, num_pad)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"))
+            y = nn.relu(y + b) * s + t
+            return y, y
+
+        _, ys = jax.lax.scan(
+            step, jnp.zeros_like(spx[0]),
+            (kst, bst, sst, tst, spx[:nums]))
+        out = jnp.concatenate(
+            [jnp.moveaxis(ys, 0, 2).reshape(bsz, tlen, nums * width),
+             spx[nums]],
+            axis=-1)
+
+        out = conv1x1p(out, "conv3", self.planes, width * self.scale)
+        s3, t3 = bn_affine("bn3", self.planes)
+        out = nn.relu(out) * s3 + t3
+
+        out = out + residual
+        if self.pool:
+            out = layers.max_pool_1d(out, self.pool)
+        return AFMS(self.planes, name="afms")(out)
+
 
 class RawNet3(nn.Module):
     """RawNet3 with fixed reference hyperparameters
@@ -234,7 +390,7 @@ class RawNet3(nn.Module):
             kernel_size=251,
             stride=self.sinc_stride,
             name="conv1",
-        )(h[:, :, None])  # (B, T, C/4)
+        )(h[:, :, None], train)  # (B, T, C/4)
         h = jnp.abs(h)
         if self.log_sinc:
             h = jnp.log(h + 1e-6)

@@ -1,0 +1,106 @@
+"""Strided sinc-filterbank convolution with a closed-form VJP.
+
+RawNet3's encoder is a stride-10 k=251 1->256-channel conv over the
+raw 64600-sample wave (reference: src/models/rawnet3.py:27-33 via
+asteroid_filterbanks ``Encoder(ParamSincFB(...))``). Its *automatic*
+input gradient is an input-dilated transposed conv — the known
+XLA:TPU pathology this codebase sidesteps everywhere (see
+ops/stft.py) — and attacks differentiate through the encoder on every
+step. So, like the STFT, the backward is closed form:
+
+    dL/dx[m]  = sum_t G[t, m - t*hop],      G = einsum(g, filters)
+    dL/dW[f,n] = sum_{b,t} g[b,t,f] * x[b, t*hop + n]
+
+dx is one (B,T,F)x(F,K) matmul + ceil(K/hop) shifted adds; dW is
+ceil(K/hop) skinny matmuls against hop-sized chunks of x. Both are
+static-shaped MXU-friendly ops.
+
+Unlike the STFT kernel the filters here are *learnable* (low_hz_ /
+band_hz_), so the VJP also produces a filter cotangent — but only on
+training paths: attack/eval programs pass ``need_dw=False`` and get a
+NaN-filled dW so an accidental eval-mode parameter gradient fails
+loudly instead of being silently wrong (same contract as
+ops/pallas_layer0.fused_conv0_mfm_pool).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=4)
+def _sinc_conv_fn(stride: int, need_dw: bool):
+    """(B, L) x (F, K) -> (B, T, F) strided conv, custom VJP."""
+
+    @jax.custom_vjp
+    def sinc_conv(x, filters):
+        out = jax.lax.conv_general_dilated(
+            x[:, None, :],
+            filters[:, None, :],  # (F, 1, K) OIH
+            window_strides=(stride,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )  # (B, F, T)
+        return jnp.swapaxes(out, 1, 2)  # (B, T, F)
+
+    def fwd(x, filters):
+        return sinc_conv(x, filters), (x, filters)
+
+    def bwd(res, g):
+        x, filters = res
+        b, l = x.shape
+        k = filters.shape[1]
+        t = g.shape[1]
+        s = stride
+        c = -(-k // s)  # hop-chunks per kernel window
+
+        # dx: frame cotangents -> overlap-add of hop-sized chunks
+        gg = jnp.einsum("btf,fn->btn", g, filters,
+                        preferred_element_type=jnp.float32)  # (B, T, K)
+        gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c * s - k)))
+        gg = gg.reshape(b, t, c, s)
+        rows = t + c - 1
+        acc = jnp.zeros((b, rows, s), gg.dtype)
+        for j in range(c):
+            acc = acc.at[:, j : j + t].add(gg[:, :, j])
+        dx = acc.reshape(b, rows * s)
+        dx = dx[:, :l] if rows * s >= l else jnp.pad(
+            dx, ((0, 0), (0, l - rows * s)))
+
+        if not need_dw:
+            return dx, jnp.full_like(filters, jnp.nan)
+
+        # dW[f, j*s + q] = sum_{b,t} g[b,t,f] * xc[b, t + j, q]
+        pad_to = (t + c - 1) * s
+        xc = jnp.pad(x, ((0, 0), (0, max(0, pad_to - l))))[:, :pad_to]
+        xc = xc.reshape(b, t + c - 1, s)
+        parts = [
+            jnp.einsum("btf,btq->fq", g, xc[:, j : j + t],
+                       preferred_element_type=jnp.float32)
+            for j in range(c)
+        ]
+        dw = jnp.concatenate(parts, axis=1)[:, :k]
+        return dx, dw
+
+    sinc_conv.defvjp(fwd, bwd)
+    return sinc_conv
+
+
+def sinc_conv(x: jax.Array, filters: jax.Array, stride: int,
+              need_dw: bool = True) -> jax.Array:
+    """Strided filterbank conv of raw waves.
+
+    Args:
+      x: (B, L) float32 waveforms.
+      filters: (F, K) filterbank kernels.
+      stride: hop between frames.
+      need_dw: False on eval/attack paths — the filter cotangent is
+        then NaN-filled (fails loudly if consumed).
+
+    Returns:
+      (B, T, F), T = (L - K) // stride + 1.
+    """
+    return _sinc_conv_fn(stride, bool(need_dw))(x, filters)

@@ -105,28 +105,33 @@ def main():
             x01, mn, mx = attack_core.to_minmax(x)
             return attack_core.revert_minmax(atk(x01, y, key), mn, mx)
 
-        key = jax.random.PRNGKey(1)
+        # pre-split keys OUTSIDE the timed loop: each host-side split is
+        # its own device program whose tunnel dispatch stalls the
+        # pipeline ~25-110 ms/iter (same fix as bench.py; measured
+        # rawnet3 PGD-10 1128 -> 795 ms/batch64)
+        keys = jax.random.split(jax.random.PRNGKey(1), args.iters + 2)
         t0 = time.perf_counter()
-        out = attack_batch(x, y, key)
+        out = attack_batch(x, y, keys[0])
         float(out.ravel()[0])
         compile_s = time.perf_counter() - t0
-        out = attack_batch(x, y, key)  # warmup
+        out = attack_batch(x, y, keys[1])  # warmup
         float(out.ravel()[0])
 
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            key, k = jax.random.split(key)
-            out = attack_batch(x, y, k)
+        for i in range(args.iters):
+            out = attack_batch(x, y, keys[2 + i])
         float(out.ravel()[0])
         dt = time.perf_counter() - t0
 
         ms = dt / args.iters * 1e3
-        results[prefix + name] = {
-            "ms_per_batch64": round(ms, 1),
+        row_key = prefix + name + (
+            f"@b{args.batch}" if args.batch != 64 else "")
+        results[row_key] = {
+            f"ms_per_batch{args.batch}": round(ms, 1),
             "examples_per_sec": round(args.batch * args.iters / dt, 1),
             "compile_s": round(compile_s, 1),
         }
-        print(f"{prefix + name}: {results[prefix + name]}")
+        print(f"{row_key}: {results[row_key]}")
 
     OUT.write_text(json.dumps(results, indent=1))
     print(f"wrote {OUT}")

@@ -171,3 +171,38 @@ def test_eval_bn_folding_matches_unfolded(rng, monkeypatch):
     got = np.asarray(module.apply(variables, x, train=False))
     np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
     assert not np.allclose(got, 0.0)
+
+
+def test_rawnet3_fold_scan_matches_unrolled(rng, monkeypatch):
+    """bf16 eval RawNet3: opt-in folded-BN scan trunk == default path.
+
+    The ADAA_RAWNET_SCAN=1 variant runs each Bottle2neck's seven scale
+    convs as one lax.scan over stacked weights with BatchNorms folded
+    to affines (models/rawnet3.py Bottle2neck._fast_eval — kept as a
+    documented negative result); same param tree, same math up to bf16
+    rounding. Randomized running stats + BN affines make the fold
+    non-trivial.
+    """
+    module = models.get_model("rawnet3", {"compute_dtype": "bfloat16"})
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=SHORT_WAVE
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.abs(rng.standard_normal(a.shape)).astype(np.float32) + 0.5
+        ),
+        variables["batch_stats"],
+    )
+    variables = {**variables, "batch_stats": stats}
+    x = _wave(rng)
+
+    ref = np.asarray(module.apply(variables, x, train=False))
+    monkeypatch.setenv("ADAA_RAWNET_SCAN", "1")
+    got = np.asarray(module.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+    assert not np.allclose(got, 0.0)
+    # both paths create the same tree (checkpoint compatibility)
+    v2 = models.init_model(module, jax.random.PRNGKey(0),
+                           wave_length=SHORT_WAVE)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(dict(variables)))

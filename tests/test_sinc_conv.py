@@ -1,0 +1,59 @@
+"""ops/sinc_conv closed-form VJP vs XLA autodiff.
+
+RawNet3's sinc encoder differentiates through a stride-10 k=251 conv
+on every attack step; the automatic input-grad is the transposed-conv
+TPU pathology so the backward is closed form (ops/sinc_conv.py).
+These tests pin exactness of both cotangents against lax.conv
+autodiff on CPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adaa_tpu.ops.sinc_conv import sinc_conv
+
+
+def _ref(x, w, stride):
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :], w[:, None, :], (stride,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return jnp.swapaxes(out, 1, 2)
+
+
+@pytest.mark.parametrize("stride,k,l", [(10, 251, 2000), (7, 33, 500),
+                                        (16, 16, 512)])
+def test_sinc_conv_matches_autodiff(rng, stride, k, l):
+    x = jnp.asarray(rng.standard_normal((3, l)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((6, k)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(sinc_conv(x, w, stride)),
+        np.asarray(_ref(x, w, stride)), atol=1e-5, rtol=1e-5)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(jnp.sin(f(x, w)))
+
+    g1x, g1w = jax.grad(loss(lambda x, w: sinc_conv(x, w, stride)),
+                        (0, 1))(x, w)
+    g2x, g2w = jax.grad(loss(lambda x, w: _ref(x, w, stride)),
+                        (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g2x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1w), np.asarray(g2w),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sinc_conv_need_dw_false_poisons_dw_only(rng):
+    """Eval-path contract: dx stays exact, dW is NaN (fails loudly)."""
+    x = jnp.asarray(rng.standard_normal((2, 1000)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 251)).astype(np.float32))
+    gx, gw = jax.grad(
+        lambda x, w: jnp.sum(jnp.sin(sinc_conv(x, w, 10, need_dw=False))),
+        (0, 1))(x, w)
+    rx = jax.grad(
+        lambda x: jnp.sum(jnp.sin(_ref(x, w, 10))))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    assert bool(jnp.isnan(gw).all())
