@@ -3,8 +3,12 @@
 ADAA_* env-gate combination. Run once to compile (pass 1), again in a
 fresh process for the clean number (pass 2, warm persistent cache).
 
-Usage: ADAA_FOLD_BN=1 ADAA_RAWNET_SCAN=1 ADAA_SINC_VJP=1 \
+Usage: ADAA_RAWNET_SCAN=1 ADAA_SINC_VJP=0 \
            python scripts/profiling/profile_rawnet_r3.py [--batch 64]
+
+(defaults: unrolled trunk + closed-form sinc VJP — the measured round-3
+winner; ADAA_RAWNET_SCAN=1 opts into the folded-BN scan trunk,
+ADAA_SINC_VJP=0 restores the autodiff transposed-conv input-grad)
 """
 import argparse
 import os
