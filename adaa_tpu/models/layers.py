@@ -212,6 +212,12 @@ class BiLSTM(nn.Module):
     """
 
     hidden_size: int
+    # scan unroll factor. >1 lets XLA overlap the gate elementwise with
+    # the next step's matmul (the recurrence is latency-bound: tiny
+    # per-step matmuls), but multiplies the differentiated program size
+    # — training-path compiles blow past 20 min at 4 — so callers
+    # enable it only on the eval/attack fast path.
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -252,7 +258,7 @@ class BiLSTM(nn.Module):
             jnp.zeros((b, 2, h), x.dtype),
             jnp.zeros((b, 2, h), x.dtype),
         )
-        _, ys = jax.lax.scan(step, init, gates)  # (T, B, 2, H)
+        _, ys = jax.lax.scan(step, init, gates, unroll=self.unroll)
         out = jnp.concatenate(
             [ys[:, :, 0], jnp.flip(ys[:, :, 1], axis=0)], axis=-1
         )

@@ -105,6 +105,9 @@ class ParamSincFB(nn.Module):
     sample_rate: float = 8000.0
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 -> bf16 conv inputs
+    # with f32 accumulation on the attack-surrogate fast path
+    # (ADAA_BF16_FRONTEND=0 keeps the f32 encoder on the bf16 trunk)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -167,9 +170,15 @@ class ParamSincFB(nn.Module):
             )  # (B, T, n_filt)
         from adaa_tpu.ops.sinc_conv import sinc_conv
 
+        compute = (
+            "bf16"
+            if (self.compute_dtype == jnp.bfloat16
+                and os.environ.get("ADAA_BF16_FRONTEND") != "0")
+            else "f32"
+        )
         return sinc_conv(
             x[..., 0] if x.ndim == 3 else x,
-            filters, self.stride, need_dw=train,
+            filters, self.stride, need_dw=train, compute=compute,
         )  # (B, T, n_filt)
 
 
@@ -367,8 +376,9 @@ class RawNet3(nn.Module):
     context: bool = True
     summed: bool = True
     out_bn: bool = False
-    compute_dtype: Optional[jnp.dtype] = None  # bf16 res2net trunk;
-    # sinc frontend / stats pooling / head stay f32
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 res2net trunk +
+    # bf16-input sinc encoder (f32 accumulation; ADAA_BF16_FRONTEND=0
+    # keeps the encoder f32); stats pooling / head stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -389,6 +399,7 @@ class RawNet3(nn.Module):
             n_filters=self.C // 4,
             kernel_size=251,
             stride=self.sinc_stride,
+            compute_dtype=self.compute_dtype,
             name="conv1",
         )(h[:, :, None], train)  # (B, T, C/4)
         h = jnp.abs(h)

@@ -38,12 +38,24 @@ Design (mosaic-safe by construction — no sublane-misaligned slices,
   as row ranges of R samples — kernel refs are 2-D, so no mosaic
   value reshapes occur anywhere. Sample boundaries are protected by
   each sample's zero pad rows (rotate spill lands only in pad).
-* Backward recomputes the accumulators, routes the cotangent with
-  group eq/count tie semantics (the XLA path's composed reshape-max
-  splits ties hierarchically instead — both differ from torch's
-  single-argmax routing; only exact-tie coordinates diverge), and
-  produces dx via transposed dots; dW falls back to the XLA reference
-  implementation (DCE'd when only dx is needed, i.e. in attacks).
+* Backward: the VJP forward emits a WINNER INDEX alongside the output
+  — one bf16 plane holding argmax_c over the 8 pool/MFM candidates
+  (c = parity*4 + quarter; lowest index on exact ties; small ints are
+  exact in bf16). The backward routes the whole cotangent to that
+  candidate ((idx == c) compares — torch-style single-winner routing;
+  the XLA path's composed reshape-max splits ties hierarchically, and
+  an earlier kernel split eq/count-evenly — all three differ only at
+  exact-tie coordinates, which are measure-zero in f32 and rare in
+  bf16) and produces dx via transposed dots. The index costs one
+  (rows, 1280) bf16 store/load (~0.3 ms HBM at batch 256) and buys
+  the backward out of recomputing both conv accumulators (10 MXU
+  dots) and the 6 full-plane rotates. A first mask variant stored 8
+  eq-bits packed as sum 2^c and decoded with floor-chains: ~2 ms of
+  VPU decode per step that did not overlap the dx dots (measured
+  5.9 ms vs 4.7 ms for the recompute backward it replaced) — the
+  index form needs only one compare per candidate. dW falls back to
+  the XLA reference implementation (attacks/eval set need_dw=False
+  and skip it).
 
 Numerics: conv products in bfloat16 with f32 accumulation — the
 bf16-trunk fast path. The f32 EER-parity mode (`precision: "highest"`)
@@ -142,32 +154,44 @@ def _fwd_kernel(xe_ref, xo_ref, w_ref, bias_ref, out_ref, x_scratch):
         out_ref[:, QL * b5 : QL * (b5 + 1)] = mm
 
 
-def _bwd_kernel(
-    xe_ref, xo_ref, w_ref, bias_ref, wt_ref, g_ref,
-    dxe_ref, dxo_ref, x_scratch, d_scratch, de_scratch, do_scratch,
+def _fwd_mask_kernel(
+    xe_ref, xo_ref, w_ref, bias_ref, out_ref, mask_ref, x_scratch
 ):
+    """Forward + winner index (VJP path; see module docstring)."""
     planes = _rolled_planes(xe_ref[...], xo_ref[...])
+    for b5 in range(NBLK):
+        acc_e = _accumulate(planes, w_ref, bias_ref, b5, 0, x_scratch)
+        acc_o = _accumulate(planes, w_ref, bias_ref, b5, 1, x_scratch)
+        mm = _quarter_max(jnp.maximum(acc_e, acc_o))
+        out_ref[:, QL * b5 : QL * (b5 + 1)] = mm
+        # lowest winning candidate index c = parity*4 + quarter
+        m = jnp.full_like(mm, 7.0)
+        for pt, acc in ((1, acc_o), (0, acc_e)):  # descending c
+            for q in (3, 2, 1, 0):
+                c = float(pt * 4 + q)
+                sl = acc[:, QL * q : QL * (q + 1)]
+                m = jnp.where(sl == mm, c, m)
+        mask_ref[:, QL * b5 : QL * (b5 + 1)] = m.astype(jnp.bfloat16)
+
+
+def _bwd_kernel(
+    wt_ref, mask_ref, g_ref,
+    dxe_ref, dxo_ref, d_scratch, de_scratch, do_scratch,
+):
+    """Index-driven dx: no conv recompute, no input planes, no plane rolls."""
     de_scratch[:, :] = jnp.zeros_like(de_scratch)
     do_scratch[:, :] = jnp.zeros_like(do_scratch)
 
     for b5 in range(NBLK):
-        acc_e = _accumulate(planes, w_ref, bias_ref, b5, 0, x_scratch)
-        acc_o = _accumulate(planes, w_ref, bias_ref, b5, 1, x_scratch)
-        mm = _quarter_max(jnp.maximum(acc_e, acc_o))  # (rows, QL)
-
-        # eq/count tie routing, all per-quarter slices (no lane moves)
-        cnt = jnp.zeros_like(mm)
-        for acc in (acc_e, acc_o):
-            for q in range(4):
-                cnt = cnt + (acc[:, QL * q : QL * (q + 1)] == mm)
+        # f32 compare: mosaic has no bf16 integer-equality on v5e
+        m = mask_ref[:, QL * b5 : QL * (b5 + 1)].astype(jnp.float32)
         gg = g_ref[:, QL * b5 : QL * (b5 + 1)]
-        inv = gg / jnp.maximum(cnt, 1.0)
 
-        for pt, acc in ((0, acc_e), (1, acc_o)):
+        for pt in (0, 1):
             for q in range(4):
-                sl = acc[:, QL * q : QL * (q + 1)]
+                c = float(pt * 4 + q)
                 d_scratch[:, QL * q : QL * (q + 1)] = jnp.where(
-                    sl == mm, inv, 0.0
+                    m == c, gg, 0.0
                 ).astype(d_scratch.dtype)
             dx_b = jnp.dot(
                 d_scratch[:, :],
@@ -249,14 +273,12 @@ def _rows_per_step(b: int) -> int:
     return 2 if b % 2 == 0 else 1
 
 
-def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret):
+def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret, with_mask=False):
     rows_total = xe.shape[0]
     b = rows_total // ROWS_PAD
     r = _rows_per_step(b)
     rows = r * ROWS_PAD
-    out = pl.pallas_call(
-        _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((rows_total, NOUT), jnp.float32),
+    common = dict(
         grid=(b // r,),
         in_specs=[
             _block_spec(rows, LANES_IN),
@@ -264,17 +286,37 @@ def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret):
             _const_spec(wmat.shape),
             _const_spec(brow.shape),
         ],
-        out_specs=_block_spec(rows, NOUT),
         scratch_shapes=[pltpu.VMEM((rows, KDIM), jnp.bfloat16)],
         interpret=interpret,
-    )(xe, xo, wmat, brow)
+    )
+    if with_mask:
+        out, mask = pl.pallas_call(
+            _fwd_mask_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_total, NOUT), jnp.float32),
+                jax.ShapeDtypeStruct((rows_total, NOUT), jnp.bfloat16),
+            ],
+            out_specs=[_block_spec(rows, NOUT), _block_spec(rows, NOUT)],
+            **common,
+        )(xe, xo, wmat, brow)
+    else:
+        out = pl.pallas_call(
+            _fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((rows_total, NOUT), jnp.float32),
+            out_specs=_block_spec(rows, NOUT),
+            **common,
+        )(xe, xo, wmat, brow)
+        mask = None
     out = out.reshape(b, ROWS_PAD, F_OUT, 32)[:, :T_OUT]
-    return out.astype(out_dtype)
+    return (out.astype(out_dtype), mask) if with_mask else out.astype(out_dtype)
 
 
-def _bwd_call(xe, xo, wmat, brow, g, interpret):
-    rows_total = xe.shape[0]
+def _bwd_call(wt, mask, g, interpret):
+    rows_total = mask.shape[0]
     b = rows_total // ROWS_PAD
+    # r=4 was tried for the lighter index-driven backward (no input
+    # planes) but exceeds the 16 MB scoped-VMEM ceiling by ~0.7 MB
+    # in-context (the ceiling includes the XLA-placed dxe/dxo outputs)
     r = _rows_per_step(b)
     rows = r * ROWS_PAD
     gp = jnp.pad(
@@ -289,11 +331,8 @@ def _bwd_call(xe, xo, wmat, brow, g, interpret):
         ],
         grid=(b // r,),
         in_specs=[
-            _block_spec(rows, LANES_IN),
-            _block_spec(rows, LANES_IN),
-            _const_spec(wmat.shape),
-            _const_spec(brow.shape),
             _const_spec((NDIM, KDIM)),
+            _block_spec(rows, NOUT),
             _block_spec(rows, NOUT),
         ],
         out_specs=[
@@ -301,13 +340,12 @@ def _bwd_call(xe, xo, wmat, brow, g, interpret):
             _block_spec(rows, LANES_IN),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, KDIM), jnp.bfloat16),
             pltpu.VMEM((rows, NDIM), jnp.bfloat16),
             pltpu.VMEM((rows, LANES_IN), jnp.float32),
             pltpu.VMEM((rows, LANES_IN), jnp.float32),
         ],
         interpret=interpret,
-    )(xe, xo, wmat, brow, wmat.T, gp)
+    )(wt, mask, gp)
     return dxe.reshape(b, ROWS_PAD, LANES_IN), dxo.reshape(
         b, ROWS_PAD, LANES_IN
     )
@@ -346,14 +384,17 @@ def fused_conv0_mfm_pool(x, w, bias, interpret=False, need_dw=True):
 
 
 def _fused_fwd(x, w, bias, interpret, need_dw):
-    return fused_conv0_mfm_pool(x, w, bias, interpret, need_dw), (x, w, bias)
+    xe, xo = _planes(x)
+    wmat, brow = _pack_weights(w, bias)
+    out, mask = _fwd_call(xe, xo, wmat, brow, x.dtype, interpret,
+                          with_mask=True)
+    return out, (x, mask, w, bias)
 
 
 def _fused_bwd(interpret, need_dw, res, g):
-    x, w, bias = res
-    xe, xo = _planes(x)
-    wmat, brow = _pack_weights(w, bias)
-    dxe, dxo = _bwd_call(xe, xo, wmat, brow, g, interpret)
+    x, mask, w, bias = res
+    wmat, _ = _pack_weights(w, bias)
+    dxe, dxo = _bwd_call(wmat.T, mask, g, interpret)
     # drop halo rows, interleave parities, drop f pad
     dxe = dxe[:, 1 : 1 + T_OUT]
     dxo = dxo[:, 1 : 1 + T_OUT]

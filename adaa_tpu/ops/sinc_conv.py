@@ -30,15 +30,22 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.lru_cache(maxsize=4)
-def _sinc_conv_fn(stride: int, need_dw: bool):
-    """(B, L) x (F, K) -> (B, T, F) strided conv, custom VJP."""
+@functools.lru_cache(maxsize=8)
+def _sinc_conv_fn(stride: int, need_dw: bool, compute: str = "f32"):
+    """(B, L) x (F, K) -> (B, T, F) strided conv, custom VJP.
+
+    ``compute="bf16"``: conv/dx-einsum inputs in bfloat16 with f32
+    accumulation — the attack-surrogate fast path (f32 MXU matmuls
+    cost ~6x bf16 on v5e). dW (training) always accumulates from f32
+    operands.
+    """
+    in_dtype = jnp.bfloat16 if compute == "bf16" else jnp.float32
 
     @jax.custom_vjp
     def sinc_conv(x, filters):
         out = jax.lax.conv_general_dilated(
-            x[:, None, :],
-            filters[:, None, :],  # (F, 1, K) OIH
+            x[:, None, :].astype(in_dtype),
+            filters[:, None, :].astype(in_dtype),  # (F, 1, K) OIH
             window_strides=(stride,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
@@ -58,7 +65,8 @@ def _sinc_conv_fn(stride: int, need_dw: bool):
         c = -(-k // s)  # hop-chunks per kernel window
 
         # dx: frame cotangents -> overlap-add of hop-sized chunks
-        gg = jnp.einsum("btf,fn->btn", g, filters,
+        gg = jnp.einsum("btf,fn->btn", g.astype(in_dtype),
+                        filters.astype(in_dtype),
                         preferred_element_type=jnp.float32)  # (B, T, K)
         gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c * s - k)))
         gg = gg.reshape(b, t, c, s)
@@ -90,7 +98,7 @@ def _sinc_conv_fn(stride: int, need_dw: bool):
 
 
 def sinc_conv(x: jax.Array, filters: jax.Array, stride: int,
-              need_dw: bool = True) -> jax.Array:
+              need_dw: bool = True, compute: str = "f32") -> jax.Array:
     """Strided filterbank conv of raw waves.
 
     Args:
@@ -99,8 +107,13 @@ def sinc_conv(x: jax.Array, filters: jax.Array, stride: int,
       stride: hop between frames.
       need_dw: False on eval/attack paths — the filter cotangent is
         then NaN-filled (fails loudly if consumed).
+      compute: "bf16" for bfloat16 conv inputs with f32 accumulation
+        (attack-surrogate fast path; CPU has no bf16 dot kernel, so
+        the caller downgrades there), "f32" for the parity path.
 
     Returns:
       (B, T, F), T = (L - K) // stride + 1.
     """
-    return _sinc_conv_fn(stride, bool(need_dw))(x, filters)
+    if compute == "bf16" and jax.default_backend() == "cpu":
+        compute = "f32"
+    return _sinc_conv_fn(stride, bool(need_dw), compute)(x, filters)
