@@ -88,6 +88,24 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int = None) -> jax.Array:
     return x.max(axis=(2, 4))
 
 
+def mfm_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:
+    """Fused MFM + non-overlapping 2D max pool: one reshape-max.
+
+    max_pool_2d(max_feature_map(x)) computed as a SINGLE max reduce over
+    (window, window, half) — max is associative, so the values are
+    identical; only exact-tie gradient routing can differ (combined max
+    routes once over the 8-candidate set instead of hierarchically).
+    Saves the (B, H, W, C/2) MFM intermediate's HBM round-trip in both
+    directions on the attack hot path.
+    """
+    b, h, w, c = x.shape
+    assert c % 2 == 0, "MFM needs an even channel count"
+    h2, w2 = h // window, w // window
+    x = x[:, : h2 * window, : w2 * window, :]
+    x = x.reshape(b, h2, window, w2, window, 2, c // 2)
+    return x.max(axis=(2, 4, 5))
+
+
 def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
     """torch MaxPool1d with floor mode on NLC input (reshape + max —
     see max_pool_2d for why not reduce_window)."""

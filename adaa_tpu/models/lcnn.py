@@ -218,7 +218,7 @@ class LCNN(nn.Module):
                     bias = bias * s2 + jnp.concatenate([t, t])
                 return kernel, bias
 
-            def fconv(h, feat, k, in_feat, name, bn_name):
+            def fconv(h, feat, k, in_feat, name, bn_name, pooled=False):
                 kernel, bias = fold_params(feat, k, in_feat, name, bn_name)
                 y = jax.lax.conv_general_dilated(
                     h.astype(dtype),
@@ -227,7 +227,11 @@ class LCNN(nn.Module):
                     [(k // 2, k // 2)] * 2,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                return mfm(y + bias.astype(dtype))
+                y = y + bias.astype(dtype)
+                # MFM followed by a pool collapses to ONE reshape-max
+                # (identical values; saves the MFM intermediate's HBM
+                # round-trip fwd+bwd)
+                return layers.mfm_pool_2d(y) if pooled else mfm(y)
 
             # conv3..conv13 (+ their pools) CAN run as two fused Pallas
             # segments (ops/pallas_trunk.py, ADAA_FUSED_TRUNK=1), but
@@ -258,16 +262,13 @@ class LCNN(nn.Module):
                                   interp, train)
             else:
                 h = fconv(h, 64, 1, 32, "conv3", "bn5")
-                h = fconv(h, 96, 3, 32, "conv6", "bn9")
-                h = pool(h)
+                h = fconv(h, 96, 3, 32, "conv6", "bn9", pooled=True)
                 h = fconv(h, 96, 1, 48, "conv10", "bn12")
-                h = fconv(h, 128, 3, 48, "conv13", None)
-                h = pool(h)
+                h = fconv(h, 128, 3, 48, "conv13", None, pooled=True)
             h = fconv(h, 128, 1, 64, "conv16", "bn18")
             h = fconv(h, 64, 3, 64, "conv19", "bn21")
             h = fconv(h, 64, 1, 32, "conv22", "bn24")
-            h = fconv(h, 64, 3, 32, "conv25", None)
-            h = pool(h)
+            h = fconv(h, 64, 3, 32, "conv25", None, pooled=True)
         else:
             h = mfm(conv(64, 1, "conv3")(h))
             h = bn("bn5")(h, use_running_average=not train)

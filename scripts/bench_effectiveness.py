@@ -24,26 +24,23 @@ WAVE_LEN = 64_600
 BATCH = 128
 
 
-def main():
+def run_family(model_name, base_cfg, surrogates, batch=BATCH):
+    """PGD-10 from each fast surrogate, scored on the f32 victim."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 
     from adaa_tpu import models
     from adaa_tpu.attacks import core as attack_core
     from adaa_tpu.attacks.gradient import pgd
 
-    base_cfg = {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
-    victim = models.get_model("lcnn", base_cfg)
+    victim = models.get_model(model_name, base_cfg)
     variables = models.init_model(victim, jax.random.PRNGKey(0),
                                   wave_length=WAVE_LEN)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((BATCH, WAVE_LEN)).astype(np.float32))
-    y = jnp.asarray((np.arange(BATCH) % 2).astype(np.int32))
+    x = jnp.asarray(rng.standard_normal((batch, WAVE_LEN)).astype(np.float32))
+    y = jnp.asarray((np.arange(batch) % 2).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     @jax.jit
@@ -58,7 +55,7 @@ def main():
         os.environ.update(envs)
         try:
             cfg = dict(base_cfg, **(extra_cfg or {}))
-            module = models.get_model("lcnn", cfg)
+            module = models.get_model(model_name, cfg)
 
             def attack_batch(x, y, key):
                 logits_fn = lambda xx: module.apply(variables, xx)
@@ -88,26 +85,64 @@ def main():
         res = {
             "mean_abs_logit_shift": float(shift.mean()),
             "flip_rate": float(flips),
-            "examples_per_sec": round(BATCH / dt, 1),
+            "examples_per_sec": round(batch / dt, 1),
             "compile_s": round(compile_s, 1),
         }
         print(f"{name}: {res}", flush=True)
         return res
 
-    results = {
-        "f32_surrogate": run_surrogate(
-            "f32_surrogate", env={"ADAA_FUSED_LCNN": "0"}),
-        "bf16_trunk_f32_frontend": run_surrogate(
-            "bf16_trunk_f32_frontend",
-            env={"ADAA_BF16_FRONTEND": "0"},
-            extra_cfg={"compute_dtype": "bfloat16"}),
-        "bf16_trunk_bf16_frontend": run_surrogate(
-            "bf16_trunk_bf16_frontend",
-            env={"ADAA_BF16_FRONTEND": "1"},
-            extra_cfg={"compute_dtype": "bfloat16"}),
-    }
+    return {name: run_surrogate(name, **kw) for name, kw in surrogates.items()}
+
+
+def main():
+    import argparse
+
+    import jax
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--families", nargs="*", default=["lcnn", "rawnet3"])
+    args = parser.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+
     out = Path(__file__).resolve().parents[1] / "BENCH_EFFECTIVENESS.json"
-    out.write_text(json.dumps(results, indent=1))
+    results = json.loads(out.read_text()) if out.exists() else {}
+
+    if "lcnn" in args.families:
+        results.update(run_family(
+            "lcnn",
+            {"input_channels": 1, "frontend_algorithm": ["lfcc"]},
+            {
+                "f32_surrogate": dict(env={"ADAA_FUSED_LCNN": "0"}),
+                "bf16_trunk_f32_frontend": dict(
+                    env={"ADAA_BF16_FRONTEND": "0"},
+                    extra_cfg={"compute_dtype": "bfloat16"}),
+                "bf16_trunk_bf16_frontend": dict(
+                    env={"ADAA_BF16_FRONTEND": "1"},
+                    extra_cfg={"compute_dtype": "bfloat16"}),
+            },
+        ))
+        out.write_text(json.dumps(results, indent=1))
+    if "rawnet3" in args.families:
+        # raw-waveform family: the "frontend" knob is the sinc encoder
+        results.update({
+            f"rawnet3:{k}": v for k, v in run_family(
+                "rawnet3",
+                {},
+                {
+                    "f32_surrogate": dict(),
+                    "bf16_trunk_f32_encoder": dict(
+                        env={"ADAA_BF16_FRONTEND": "0"},
+                        extra_cfg={"compute_dtype": "bfloat16"}),
+                    "bf16_trunk_bf16_encoder": dict(
+                        env={"ADAA_BF16_FRONTEND": "1"},
+                        extra_cfg={"compute_dtype": "bfloat16"}),
+                },
+                batch=64,
+            ).items()
+        })
+        out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 
 
