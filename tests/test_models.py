@@ -206,3 +206,28 @@ def test_rawnet3_fold_scan_matches_unrolled(rng, monkeypatch):
                            wave_length=SHORT_WAVE)
     assert (jax.tree_util.tree_structure(v2)
             == jax.tree_util.tree_structure(dict(variables)))
+
+
+def test_mfm_pool_2d_matches_composition(rng):
+    """Fused mfm_pool_2d == max_pool_2d(max_feature_map(x)), values and
+    (away from exact ties) gradients."""
+    from adaa_tpu.models import layers
+
+    x = jnp.asarray(rng.standard_normal((3, 10, 6, 8)).astype(np.float32))
+
+    ref = layers.max_pool_2d(layers.max_feature_map(x))
+    got = layers.mfm_pool_2d(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # odd spatial dims exercise the floor-mode truncation
+    x_odd = x[:, :9, :5]
+    np.testing.assert_array_equal(
+        np.asarray(layers.mfm_pool_2d(x_odd)),
+        np.asarray(layers.max_pool_2d(layers.max_feature_map(x_odd))),
+    )
+
+    g_ref = jax.grad(lambda a: jnp.sum(
+        layers.max_pool_2d(layers.max_feature_map(a)) ** 2))(x)
+    g_got = jax.grad(lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
