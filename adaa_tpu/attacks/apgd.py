@@ -16,9 +16,11 @@ audio-adapted.
 The torch implementation's host-side bookkeeping — momentum with
 a=0.75, per-sample best tracking, oscillation-triggered step-size
 halving on a shrinking checkpoint schedule (apgdt.py:64-69,185-210) —
-runs as one ``lax.fori_loop`` with a (steps, B) loss-history buffer;
-checkpoint positions are static python ints so the oscillation check
-unrolls with fixed trip counts.
+runs as ONE ``lax.scan`` whose per-step inputs carry the (static)
+checkpoint flag and window size; the oscillation check reads a dynamic
+window of a carried loss-increase buffer and its effects are gated by
+the flag, so the compiled program holds a single fwd+bwd body instead
+of ``steps`` inlined copies.
 """
 from __future__ import annotations
 
@@ -90,7 +92,11 @@ def _apgd_engine(
             reduced_last_check=jnp.ones((b,), bool),
             acc=pred_ok,
             step_size=jnp.full(shape1, 2.0 * eps, x.dtype),
-            loss_steps=jnp.zeros((steps, b), x.dtype),
+            # incr[i] = loss_steps[i] > loss_steps[i-1] (i=0: > -inf),
+            # maintained incrementally so the oscillation check needs
+            # only a dynamic window over this buffer
+            incr=jnp.zeros((steps, b), x.dtype),
+            prev_li=jnp.full((b,), -jnp.inf, x.dtype),
         )
 
         def project(v):
@@ -103,7 +109,22 @@ def _apgd_engine(
             factor = jnp.minimum(eps, dn) / (dn + 1e-12)
             return jnp.clip(x + d * factor, 0.0, 1.0)
 
-        def body(i, s):
+        # ONE lax.scan over all steps (one compiled fwd+bwd body instead
+        # of `steps` inlined copies — APGDT-20 cold compile was 199 s
+        # unrolled). Checkpoint positions are static, so they ride in as
+        # per-step scan inputs (flag + window size); the oscillation
+        # check runs every step on a dynamic window of the carried
+        # `incr` buffer and is APPLIED only where the flag is set —
+        # bit-identical to checking at the checkpoints alone.
+        maxk = steps_2  # largest window (k only ever shrinks)
+        is_ckpt = jnp.asarray(
+            [i in checkpoint_set for i in range(steps)])
+        kk_arr = jnp.asarray(
+            [checkpoint_set.get(i, 1) for i in range(steps)], jnp.int32)
+        rows = jnp.arange(maxk, dtype=jnp.int32)
+
+        def body(s, inp):
+            i, ckpt, kk = inp
             a = jnp.where(i > 0, 0.75, 1.0)
             grad2 = s["x_adv"] - s["x_adv_old"]
             x_adv_old = s["x_adv"]
@@ -133,47 +154,46 @@ def _apgd_engine(
             x_best = jnp.where(imp_b, x_adv, s["x_best"])
             grad_best = jnp.where(imp_b, grad, s["grad_best"])
             loss_best = jnp.where(improved, li, s["loss_best"])
-            loss_steps = s["loss_steps"].at[i].set(li)
+            incr = jax.lax.dynamic_update_slice(
+                s["incr"], (li > s["prev_li"]).astype(x.dtype)[None], (i, 0)
+            )
+
+            # check_oscillation (apgdt.py:64-69, k3 = thr_decr = rho):
+            # count loss increases over the last kk steps. The window
+            # [i-maxk+1, i] is in-range at every checkpoint (the first
+            # sits at i = maxk-1); keep its last kk rows.
+            win = jax.lax.dynamic_slice(incr, (i - (maxk - 1), 0), (maxk, b))
+            t = jnp.sum(
+                win * (rows >= maxk - kk).astype(x.dtype)[:, None], axis=0
+            )
+            fl_oscillation = t <= kk.astype(x.dtype) * rho
+            fl_reduce_no_impr = jnp.logical_and(
+                jnp.logical_not(s["reduced_last_check"]),
+                s["loss_best_last_check"] >= loss_best,
+            )
+            fl_oscillation = jnp.logical_or(fl_oscillation, fl_reduce_no_impr)
+            reduced_last_check = jnp.where(
+                ckpt, fl_oscillation, s["reduced_last_check"])
+            loss_best_last_check = jnp.where(
+                ckpt, loss_best, s["loss_best_last_check"])
+            osc_b = (fl_oscillation & ckpt).reshape(shape1)
+            step_size = jnp.where(osc_b, s["step_size"] / 2.0, s["step_size"])
+            x_adv = jnp.where(osc_b, x_best, x_adv)
+            grad = jnp.where(osc_b, grad_best, grad)
 
             return dict(
                 x_adv=x_adv, x_adv_old=x_adv_old, x_best=x_best,
                 x_best_adv=x_best_adv, grad=grad, grad_best=grad_best,
                 loss_best=loss_best,
-                loss_best_last_check=s["loss_best_last_check"],
-                reduced_last_check=s["reduced_last_check"],
-                acc=acc, step_size=s["step_size"], loss_steps=loss_steps,
-            )
+                loss_best_last_check=loss_best_last_check,
+                reduced_last_check=reduced_last_check,
+                acc=acc, step_size=step_size, incr=incr, prev_li=li,
+            ), None
 
-        # unrolled main loop: checkpoint positions are static python ints
-        for i in range(steps):
-            state = body(i, state)
-            if i in checkpoint_set:
-                kk = checkpoint_set[i]
-                # check_oscillation (apgdt.py:64-69, called with
-                # k3 = thr_decr = rho): count loss increases over the
-                # last kk steps; oscillating when t <= kk * rho
-                t = jnp.zeros((b,), x.dtype)
-                for c5 in range(kk):
-                    prev = state["loss_steps"][i - c5 - 1] if i - c5 - 1 >= 0 \
-                        else jnp.full((b,), -jnp.inf, x.dtype)
-                    t = t + (
-                        state["loss_steps"][i - c5] > prev
-                    ).astype(x.dtype)
-                fl_oscillation = t <= kk * rho
-                fl_reduce_no_impr = jnp.logical_and(
-                    jnp.logical_not(state["reduced_last_check"]),
-                    state["loss_best_last_check"] >= state["loss_best"],
-                )
-                fl_oscillation = jnp.logical_or(fl_oscillation, fl_reduce_no_impr)
-                state["reduced_last_check"] = fl_oscillation
-                state["loss_best_last_check"] = state["loss_best"]
-
-                osc_b = fl_oscillation.reshape(shape1)
-                state["step_size"] = jnp.where(
-                    osc_b, state["step_size"] / 2.0, state["step_size"]
-                )
-                state["x_adv"] = jnp.where(osc_b, state["x_best"], state["x_adv"])
-                state["grad"] = jnp.where(osc_b, state["grad_best"], state["grad"])
+        state, _ = jax.lax.scan(
+            body, state,
+            (jnp.arange(steps, dtype=jnp.int32), is_ckpt, kk_arr),
+        )
 
         return state["x_best"], state["acc"], state["loss_best"], state["x_best_adv"]
 

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU bench sweep. Each benchmark runs TWICE in separate
+# processes: pass 1 compiles into the persistent cache, pass 2 (fresh
+# process, warm cache) measures — same-process timings right after long
+# XLA compiles overcount 8-25x (CLAUDE.md). Stages run sequentially:
+# the axon TPU is single-client.
+#
+# Usage: bash scripts/run_bench_sweep.sh [stage...]
+#   stages: flagship flagship512 profile rawnet fab attacks attacks_models
+#           fab256 effectiveness   (default: all in that order)
+set -u
+cd "$(dirname "$0")/.."
+LOG=logs/bench_sweep_$(date +%s).log
+echo "sweep -> $LOG"
+
+run2() {  # run2 <name> <cmd...>: two-pass, keep pass-2 output
+  local name=$1; shift
+  echo "=== $name pass1 $(date +%H:%M:%S)" | tee -a "$LOG"
+  "$@" >> "$LOG" 2>&1
+  echo "=== $name pass2 $(date +%H:%M:%S)" | tee -a "$LOG"
+  "$@" 2>&1 | tee -a "$LOG"
+}
+
+for stage in "${@:-flagship profile rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
+for s in $stage; do
+case $s in
+  flagship)      run2 bench.py python bench.py ;;
+  flagship512)   run2 bench512 python bench.py --batch 512 ;;
+  profile)       run2 profile_r3b python scripts/profiling/profile_r3b.py ;;
+  rawnet)        run2 profile_rawnet python scripts/profiling/profile_rawnet_r3b.py ;;
+  fab)           run2 profile_fab python scripts/profiling/profile_fab.py ;;
+  attacks)       run2 bench_attacks python scripts/bench_attacks.py ;;
+  attacks_models)
+                 run2 bench_attacks_specrnet python scripts/bench_attacks.py --model specrnet --attacks PGD FGSM
+                 run2 bench_attacks_rawnet3 python scripts/bench_attacks.py --model rawnet3 --attacks PGD FGSM ;;
+  fab256)        run2 fab_b256 python scripts/bench_attacks.py --attacks FAB --batch 256 ;;
+  effectiveness) run2 effectiveness python scripts/bench_effectiveness.py ;;
+  *) echo "unknown stage $s"; exit 1 ;;
+esac
+done
+done
+echo "sweep done $(date +%H:%M:%S)" | tee -a "$LOG"
