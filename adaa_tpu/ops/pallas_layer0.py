@@ -151,7 +151,10 @@ def _fwd_kernel(xe_ref, xo_ref, w_ref, bias_ref, out_ref, x_scratch):
         acc_e = _accumulate(planes, w_ref, bias_ref, b5, 0, x_scratch)
         acc_o = _accumulate(planes, w_ref, bias_ref, b5, 1, x_scratch)
         mm = _quarter_max(jnp.maximum(acc_e, acc_o))
-        out_ref[:, QL * b5 : QL * (b5 + 1)] = mm
+        # store in the caller's dtype (bf16 on the fast trunk): an f32
+        # store + XLA cast would round-trip the 273 MB batch-256 output
+        # through HBM once more
+        out_ref[:, QL * b5 : QL * (b5 + 1)] = mm.astype(out_ref.dtype)
 
 
 def _fwd_mask_kernel(
@@ -163,7 +166,7 @@ def _fwd_mask_kernel(
         acc_e = _accumulate(planes, w_ref, bias_ref, b5, 0, x_scratch)
         acc_o = _accumulate(planes, w_ref, bias_ref, b5, 1, x_scratch)
         mm = _quarter_max(jnp.maximum(acc_e, acc_o))
-        out_ref[:, QL * b5 : QL * (b5 + 1)] = mm
+        out_ref[:, QL * b5 : QL * (b5 + 1)] = mm.astype(out_ref.dtype)
         # lowest winning candidate index c = parity*4 + quarter
         m = jnp.full_like(mm, 7.0)
         for pt, acc in ((1, acc_o), (0, acc_e)):  # descending c
@@ -293,7 +296,7 @@ def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret, with_mask=False):
         out, mask = pl.pallas_call(
             _fwd_mask_kernel,
             out_shape=[
-                jax.ShapeDtypeStruct((rows_total, NOUT), jnp.float32),
+                jax.ShapeDtypeStruct((rows_total, NOUT), out_dtype),
                 jax.ShapeDtypeStruct((rows_total, NOUT), jnp.bfloat16),
             ],
             out_specs=[_block_spec(rows, NOUT), _block_spec(rows, NOUT)],
@@ -302,13 +305,13 @@ def _fwd_call(xe, xo, wmat, brow, out_dtype, interpret, with_mask=False):
     else:
         out = pl.pallas_call(
             _fwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((rows_total, NOUT), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows_total, NOUT), out_dtype),
             out_specs=_block_spec(rows, NOUT),
             **common,
         )(xe, xo, wmat, brow)
         mask = None
     out = out.reshape(b, ROWS_PAD, F_OUT, 32)[:, :T_OUT]
-    return (out.astype(out_dtype), mask) if with_mask else out.astype(out_dtype)
+    return (out, mask) if with_mask else out
 
 
 def _bwd_call(wt, mask, g, interpret):
