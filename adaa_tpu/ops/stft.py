@@ -115,7 +115,11 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (B, 2F, T)
-        return out
+        # bf16 fast path: accumulate f32 but STORE bf16 (the convert
+        # fuses into the conv epilogue) — downstream consumers run in
+        # bf16 anyway, and the f32 (B, 514, 404) spectrum is ~213 MB of
+        # HBM per batch-256 step
+        return out.astype(in_dtype) if bf16 else out
 
     def fwd(xp):
         return windowed_dft(xp), (xp.shape[0], xp.shape[1])
@@ -210,7 +214,15 @@ def spectrogram(
         x, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
         window="hann", compute=compute,
     )
-    mag2 = real * real + imag * imag
+    if real.dtype == jnp.bfloat16:
+        # square in f32, store bf16: the filterbank matmul consumes the
+        # spectrum in bf16 regardless (frontends._banked_einsum), so
+        # rounding here loses nothing over the f32-store + cast-at-
+        # matmul it replaces, and halves the HBM traffic of this pass
+        r32, i32 = real.astype(jnp.float32), imag.astype(jnp.float32)
+        mag2 = (r32 * r32 + i32 * i32).astype(jnp.bfloat16)
+    else:
+        mag2 = real * real + imag * imag
     if power == 2.0:
         return mag2
-    return jnp.power(jnp.sqrt(mag2), power)
+    return jnp.power(jnp.sqrt(mag2).astype(jnp.float32), power)
