@@ -402,11 +402,20 @@ class RawNet3(nn.Module):
             compute_dtype=self.compute_dtype,
             name="conv1",
         )(h[:, :, None], train)  # (B, T, C/4)
+        if (self.compute_dtype == jnp.bfloat16
+                and os.environ.get("ADAA_BF16_FRONTEND") != "0"
+                and jax.default_backend() != "cpu"):
+            # bf16 encoder tail: abs/log run on bf16 (the trunk consumes
+            # bf16 anyway — rounding here, not at the cast below, halves
+            # the ~850 MB fwd+bwd HBM traffic of this (B, T, 256) chain
+            # at batch 64); the time-mean still accumulates in f32
+            h = h.astype(self.compute_dtype)
         h = jnp.abs(h)
         if self.log_sinc:
             h = jnp.log(h + 1e-6)
         if self.norm_sinc == "mean":
-            h = h - h.mean(axis=1, keepdims=True)
+            h = h - h.mean(axis=1, keepdims=True,
+                           dtype=jnp.float32).astype(h.dtype)
 
         if self.compute_dtype is not None:
             h = h.astype(self.compute_dtype)
