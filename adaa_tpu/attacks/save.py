@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adaa_tpu.attacks import core
+from adaa_tpu.utils.keys import host_split
 
 LOGGER = logging.getLogger(__name__)
 
@@ -47,7 +48,7 @@ def save_adversarial_dataset(
     for batch in data_loader:
         batch_x = jnp.asarray(batch[0])
         batch_y = jnp.asarray(batch[2])
-        key, k = jax.random.split(key)
+        key, k = host_split(key)
         adv = atk(batch_x, batch_y, k)
 
         pred = core.predicted_label(logits_fn(adv))

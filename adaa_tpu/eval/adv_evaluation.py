@@ -32,6 +32,7 @@ from adaa_tpu import attacks as attacks_lib
 from adaa_tpu import metrics
 from adaa_tpu.attacks import core as attack_core
 from adaa_tpu.data.loader import DataLoader
+from adaa_tpu.utils.keys import host_split
 
 LOGGER = logging.getLogger(__name__)
 
@@ -111,15 +112,23 @@ def generate_attacks(
         batch_meta = batch[3] if len(batch) > 3 else None
 
         if has_attack:
-            key, ak = jax.random.split(key)
+            key, ak = host_split(key)  # CPU-backend split: bit-identical
+            # keys, no per-batch device program (utils/keys.py)
             batch_x_attacked = attack_batch(batch_x, batch_y, ak)
         else:
             batch_x_attacked = batch_x
 
         # the qualitative callback receives the UN-re-preprocessed
-        # waveforms (reference keeps noproc clones, :225-226)
-        batch_x_noproc = np.asarray(batch_x)
-        batch_x_attacked_noproc = np.asarray(batch_x_attacked)
+        # waveforms (reference keeps noproc clones, :225-226) — pulled
+        # to host ONLY when needed: a full-batch np.asarray rides the
+        # ~1 GB/s tunnel relay (~16 MB -> tens of ms per batch)
+        need_callback = on_attack_end_callback is not None
+        batch_x_noproc = np.asarray(batch_x) if need_callback else None
+        batch_x_attacked_noproc = (
+            np.asarray(batch_x_attacked)
+            if (need_callback or raw_sample_from_dataset)
+            else None
+        )
 
         if raw_sample_from_dataset:
             # reference :229-234 — raw samples were loaded untrimmed;
@@ -136,7 +145,7 @@ def generate_attacks(
         preds = np.asarray(victim_predict(batch_x_attacked))
         preds_label = (preds + 0.5).astype(np.int32)
 
-        if on_attack_end_callback is not None:
+        if need_callback:
             if raw_sample_from_dataset:
                 from adaa_tpu.data import base as dsp
 

@@ -38,6 +38,7 @@ from adaa_tpu import attacks as attacks_lib
 from adaa_tpu.attacks import core as attack_core
 from adaa_tpu.data.loader import DataLoader
 from adaa_tpu.training import train_state as ts
+from adaa_tpu.utils.keys import host_split
 from adaa_tpu.training.gd_trainer import (
     GDTrainer,
     make_eval_step,
@@ -160,7 +161,7 @@ class AdversarialGDTrainer(GDTrainer):
                 batch_x = shard(batch[0])
                 batch_y = shard(batch[2])
                 bsz = batch_x.shape[0]
-                key, ak, dk = jax.random.split(key, 3)
+                key, ak, dk = host_split(key, 3)
 
                 atk_vars = state.variables() if self_attack else attack_variables
                 batch_x = self.apply_adv_attack(atk_vars, batch_x, batch_y, ak)
@@ -205,7 +206,7 @@ class AdversarialGDTrainer(GDTrainer):
                     test_dataset, self.batch_size, shuffle=True, drop_last=True,
                     num_workers=6,
                 )
-                key, vk = jax.random.split(key)
+                key, vk = host_split(key)
                 atk_vars = state.variables() if self_attack else attack_variables
                 adv_loss, adv_acc, adv_eer = self.validation_epoch(
                     eval_step, state, fresh_loader, adv_fn=adv_fn,
@@ -255,7 +256,7 @@ class AdversarialGDTrainer(GDTrainer):
             batch_y = jnp.asarray(batch[2])
             bsz = batch_x.shape[0]
             if adv_fn is not None:
-                key, ak = jax.random.split(key)
+                key, ak = host_split(key)
                 batch_x = adv_fn(attack_variables, batch_x, batch_y, ak)
             loss, correct, out = eval_step(variables, batch_x, batch_y)
             num_total += bsz

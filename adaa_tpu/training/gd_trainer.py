@@ -24,6 +24,7 @@ import optax
 
 from adaa_tpu.data.loader import DataLoader
 from adaa_tpu.training import train_state as ts
+from adaa_tpu.utils.keys import host_split
 
 LOGGER = logging.getLogger(__name__)
 
@@ -170,7 +171,7 @@ class GDTrainer:
             for i, batch in enumerate(train_loader):
                 batch_x, _, batch_y = batch[0], batch[1], batch[2]
                 bsz = batch_x.shape[0]
-                key, dk = jax.random.split(key)
+                key, dk = host_split(key)
                 state, loss, correct = train_step(
                     state, shard(batch_x), shard(batch_y), dk
                 )

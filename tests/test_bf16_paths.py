@@ -50,3 +50,20 @@ def test_rawnet3_bf16_tail_matches_f32(pretend_tpu):
 # dots outright ("Unsupported element type"), so that branch is
 # executable only on real accelerator backends — it is covered by the
 # TPU benchmark sweep (BENCH_EFFECTIVENESS.json) instead.
+
+
+def test_host_split_bit_identical():
+    # utils/keys.host_split must reproduce jax.random.split exactly —
+    # the production loops' key sequences are pinned by tests and the
+    # CPU-backend split is how they avoid per-batch device programs
+    from adaa_tpu.utils.keys import host_split
+
+    key = jax.random.PRNGKey(1234)
+    ref = np.asarray(jax.random.split(key, 3))
+    got = host_split(key, 3)
+    assert got.dtype == ref.dtype
+    np.testing.assert_array_equal(got, ref)
+    # threading: second-generation keys from the host copies also match
+    ref2 = np.asarray(jax.random.split(ref[0]))
+    got2 = host_split(got[0])
+    np.testing.assert_array_equal(got2, ref2)
