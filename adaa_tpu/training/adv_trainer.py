@@ -79,6 +79,10 @@ def make_adv_fn(attack_name: str, attack_module) -> Optional[AdvFn]:
 class AdversarialGDTrainer(GDTrainer):
     """RANDOM strategy base (trainer.py:213-476)."""
 
+    # True on strategies whose update_adv_attack consumes the per-batch
+    # loss (a host pull that stalls the dispatch pipeline)
+    needs_batch_loss = False
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.attacks: List[Tuple[str, Optional[AdvFn]]] = []
@@ -155,7 +159,8 @@ class AdversarialGDTrainer(GDTrainer):
 
         for epoch in range(self.epochs):
             LOGGER.info("Epoch num: %d", epoch)
-            running_loss, num_correct, num_total = 0.0, 0.0, 0
+            num_total = 0
+            acc = replicate(jnp.zeros((2,), jnp.float32))
 
             for i, batch in enumerate(train_loader):
                 batch_x = shard(batch[0])
@@ -166,23 +171,26 @@ class AdversarialGDTrainer(GDTrainer):
                 atk_vars = state.variables() if self_attack else attack_variables
                 batch_x = self.apply_adv_attack(atk_vars, batch_x, batch_y, ak)
 
-                state, loss, correct = train_step(state, batch_x, batch_y, dk)
+                state, loss, acc = train_step(state, batch_x, batch_y, dk, acc)
                 num_total += bsz
-                running_loss += float(loss) * bsz
-                num_correct += int(correct)
 
                 if i % 100 == 0:
+                    ls, nc = np.asarray(acc)  # sync at log points only
                     LOGGER.info(
                         "[%04d][%05d]: %s %s",
-                        epoch, i,
-                        running_loss / num_total,
-                        num_correct / num_total * 100,
+                        epoch, i, ls / num_total, nc / num_total * 100,
                     )
-                self.update_adv_attack(
-                    float(loss), batch_pred=None, iter=i, epoch=epoch
-                )
+                # only the adaptive strategies consume the per-batch loss
+                # (loss-EMA sampling weights, trainer.py:544-557); pulling
+                # it to host every batch stalls the pipeline, so the
+                # no-op base skips the sync
+                if self.needs_batch_loss:
+                    self.update_adv_attack(
+                        float(loss), batch_pred=None, iter=i, epoch=epoch
+                    )
 
-            running_loss /= max(num_total, 1)
+            loss_sum, num_correct = np.asarray(acc)
+            running_loss = loss_sum / max(num_total, 1)
             train_acc = num_correct / max(num_total, 1) * 100
             LOGGER.info(
                 "Epoch [%d/%d]: train/loss: %s, train/accuracy: %s",
@@ -311,6 +319,8 @@ class OnlyOneAdversarialGDTrainer(AdversarialGDTrainer):
 class AdaptiveAdversarialGDTrainer(AdversarialGDTrainer):
     """loss-EMA weighted sampling over n attacks + no-attack arm
     (trainer.py:517-557)."""
+
+    needs_batch_loss = True  # loss-EMA sampling weights need it
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

@@ -73,8 +73,14 @@ def make_sharding(batch_size: int):
     return shard, replicate
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key):
+@functools.partial(jax.jit, donate_argnums=(0, 4))
+def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key, acc):
+    """One BCE/Adam step. ``acc`` is a device ``(2,)`` f32 running
+    ``[loss_sum, correct]`` accumulator folded into the same program:
+    per-batch ``float(loss)`` pulls block the async dispatch pipeline
+    (~25 ms per sync over the tunneled single-chip backend), so the
+    loops accumulate on device and sync only at log points."""
+
     def loss_fn(params):
         out, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
@@ -90,7 +96,10 @@ def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key):
     )
     state = state.apply_gradients(grads).replace(batch_stats=new_stats)
     correct = (predict_label(out) == batch_y).sum()
-    return state, loss, correct
+    acc = acc + jnp.stack(
+        [loss * batch_y.shape[0], correct.astype(jnp.float32)]
+    )
+    return state, loss, acc
 
 
 def make_eval_step(apply_fn: Callable):
@@ -167,26 +176,25 @@ class GDTrainer:
 
         for epoch in range(self.epochs):
             LOGGER.info("Epoch num: %d", epoch)
-            running_loss, num_correct, num_total = 0.0, 0.0, 0
+            num_total = 0
+            acc = replicate(jnp.zeros((2,), jnp.float32))
             for i, batch in enumerate(train_loader):
                 batch_x, _, batch_y = batch[0], batch[1], batch[2]
                 bsz = batch_x.shape[0]
                 key, dk = host_split(key)
-                state, loss, correct = train_step(
-                    state, shard(batch_x), shard(batch_y), dk
+                state, loss, acc = train_step(
+                    state, shard(batch_x), shard(batch_y), dk, acc
                 )
                 num_total += bsz
-                running_loss += float(loss) * bsz
-                num_correct += int(correct)
                 if i % 100 == 0:
+                    ls, nc = np.asarray(acc)  # 8-byte sync at log points only
                     LOGGER.info(
                         "[%04d][%05d]: %s %s",
-                        epoch, i,
-                        running_loss / num_total,
-                        num_correct / num_total * 100,
+                        epoch, i, ls / num_total, nc / num_total * 100,
                     )
 
-            running_loss /= max(num_total, 1)
+            loss_sum, num_correct = np.asarray(acc)
+            running_loss = loss_sum / max(num_total, 1)
             train_acc = num_correct / max(num_total, 1) * 100
             LOGGER.info(
                 "Epoch [%d/%d]: train/loss: %s, train/accuracy: %s",

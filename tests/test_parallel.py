@@ -142,15 +142,19 @@ def test_lcnn_train_step_sharded_matches_single_device():
     state8 = ts.create_train_state(module, variables, {"lr": 1e-4})
     state8 = replicate(state8, mesh)
 
-    state1, loss1, correct1 = train_step(
-        state1, jnp.asarray(x), jnp.asarray(y), dk
+    state1, loss1, acc1 = train_step(
+        state1, jnp.asarray(x), jnp.asarray(y), dk,
+        jnp.zeros((2,), jnp.float32),
     )
-    state8, loss8, correct8 = train_step(
-        state8, shard_batch(mesh, x), shard_batch(mesh, y), dk
+    state8, loss8, acc8 = train_step(
+        state8, shard_batch(mesh, x), shard_batch(mesh, y), dk,
+        replicate(jnp.zeros((2,), jnp.float32), mesh),
     )
 
     assert float(loss1) == pytest.approx(float(loss8), abs=1e-6)
-    assert int(correct1) == int(correct8)
+    acc1, acc8 = np.asarray(acc1), np.asarray(acc8)
+    assert acc1[0] == pytest.approx(acc8[0], abs=2e-5)  # loss_sum
+    assert int(acc1[1]) == int(acc8[1])  # correct count
     # the first Adam step is ~ lr*sign(grad): coordinates whose f32
     # gradient is reduction-order-noise-small can flip sign between the
     # sharded and unsharded all-reduce, moving the param by up to 2*lr
