@@ -142,7 +142,15 @@ def generate_attacks(
             )
             batch_x_attacked = _shard(jnp.asarray(repro))
 
-        preds = np.asarray(victim_predict(batch_x_attacked))
+        preds_dev = victim_predict(batch_x_attacked)
+        if not need_callback:
+            # no per-batch consumer: stay device-resident, one pull at
+            # the end (per-batch syncs stall the dispatch pipeline)
+            y_pred.append(preds_dev)
+            y.append(np.asarray(batch_y))
+            continue
+
+        preds = np.asarray(preds_dev)
         preds_label = (preds + 0.5).astype(np.int32)
 
         if need_callback:
@@ -170,6 +178,10 @@ def generate_attacks(
         y_pred_label.append(preds_label)
         y.append(np.asarray(batch_y))
 
+    if on_attack_end_callback is None and y_pred:
+        y_pred = np.asarray(jnp.concatenate(y_pred))  # single pull
+        y_pred_label = [(y_pred + 0.5).astype(np.int32)]
+        y_pred = [y_pred]
     y_pred = np.concatenate(y_pred)
     y_pred_label = np.concatenate(y_pred_label)
     y = np.concatenate(y)

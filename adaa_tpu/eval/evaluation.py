@@ -59,14 +59,14 @@ def evaluate_nn(
         return jax.nn.sigmoid(out)
 
     batches_number = len(dataset) // batch_size
-    y_pred, y_pred_label, y = [], [], []
+    y_pred, y = [], []
     for i, batch in enumerate(loader):
         batch_x, batch_y = batch[0], batch[2]
         if i % 10 == 0:
             LOGGER.info("Batch [%d/%d]", i, batches_number)
-        pred = np.asarray(predict(_shard(jnp.asarray(batch_x))))
-        y_pred.append(pred)
-        y_pred_label.append((pred + 0.5).astype(np.int32))
+        # keep predictions device-resident: a per-batch np.asarray sync
+        # stalls the dispatch pipeline; one concatenate + pull at the end
+        y_pred.append(predict(_shard(jnp.asarray(batch_x))))
         y.append(batch_y)
 
     if not y_pred:
@@ -74,8 +74,8 @@ def evaluate_nn(
             f"no full batches: {len(dataset)} samples < batch_size "
             f"{batch_size} with drop_last — lower batch_size or raise --amount"
         )
-    y_pred = np.concatenate(y_pred)
-    y_pred_label = np.concatenate(y_pred_label)
+    y_pred = np.asarray(jnp.concatenate(y_pred))
+    y_pred_label = (y_pred + 0.5).astype(np.int32)
     y = np.concatenate(y)
 
     report = metrics.classification_report(y, y_pred, y_pred_label)

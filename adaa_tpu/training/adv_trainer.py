@@ -255,9 +255,12 @@ class AdversarialGDTrainer(GDTrainer):
         support") is replaced by the real EER on flipped labels — most
         useful here, where it gives per-attack adversarial EER; the
         default keeps the reference's log surface."""
-        test_loss, num_correct, num_total = 0.0, 0.0, 0
+        # deferred syncs: device scalars/arrays pulled once after the
+        # loop (see GDTrainer._test_epoch)
+        num_total = 0
         eer_val = 0  # matches reference placeholder (trainer.py:417)
-        scores, labels = [], []
+        bszs, losses, corrects = [], [], []
+        outs, labels = [], []
         variables = state.variables()
         for batch in test_loader:
             batch_x = jnp.asarray(batch[0])
@@ -268,11 +271,20 @@ class AdversarialGDTrainer(GDTrainer):
                 batch_x = adv_fn(attack_variables, batch_x, batch_y, ak)
             loss, correct, out = eval_step(variables, batch_x, batch_y)
             num_total += bsz
-            test_loss += float(loss) * bsz
-            num_correct += int(correct)
+            bszs.append(bsz)
+            losses.append(loss)
+            corrects.append(correct)
             if self.compute_eer:
-                scores.append(np.asarray(jax.nn.sigmoid(out.squeeze(-1))))
-                labels.append(np.asarray(batch_y))
+                outs.append(out)
+                labels.append(np.asarray(batch[2]))
+        test_loss = float(
+            jnp.stack(losses) @ jnp.asarray(bszs, jnp.float32)
+        ) if losses else 0.0
+        num_correct = float(jnp.stack(corrects).sum()) if corrects else 0.0
+        scores = (
+            [np.asarray(jax.nn.sigmoid(jnp.concatenate(outs).squeeze(-1)))]
+            if outs else []
+        )
         num_total = max(num_total, 1)
         if self.compute_eer and scores:
             from adaa_tpu.metrics import calculate_eer

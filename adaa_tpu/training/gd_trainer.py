@@ -219,8 +219,12 @@ class GDTrainer:
 
     @staticmethod
     def _test_epoch(eval_step, state, test_loader, compute_eer=False):
-        test_loss, num_correct, num_total = 0.0, 0.0, 0
-        scores, labels = [], []
+        # per-batch float()/np.asarray() syncs stall the async dispatch
+        # pipeline (~25 ms each over the tunneled backend): keep device
+        # scalars/arrays in lists and pull ONCE after the loop
+        num_total = 0
+        bszs, losses, corrects = [], [], []
+        outs, labels = [], []
         variables = state.variables()
         for batch in test_loader:
             batch_x, batch_y = batch[0], batch[2]
@@ -229,11 +233,20 @@ class GDTrainer:
                 variables, jnp.asarray(batch_x), jnp.asarray(batch_y)
             )
             num_total += bsz
-            test_loss += float(loss) * bsz
-            num_correct += int(correct)
+            bszs.append(bsz)
+            losses.append(loss)
+            corrects.append(correct)
             if compute_eer:
-                scores.append(np.asarray(jax.nn.sigmoid(out.squeeze(-1))))
+                outs.append(out)
                 labels.append(np.asarray(batch_y))
+        test_loss = float(
+            jnp.stack(losses) @ jnp.asarray(bszs, jnp.float32)
+        ) if losses else 0.0
+        num_correct = float(jnp.stack(corrects).sum()) if corrects else 0.0
+        scores = (
+            [np.asarray(jax.nn.sigmoid(jnp.concatenate(outs).squeeze(-1)))]
+            if outs else []
+        )
         num_total = max(num_total, 1)
         eer_val = 0  # reference placeholder (trainer.py:171)
         if compute_eer and scores:
