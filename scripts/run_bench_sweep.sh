@@ -21,12 +21,13 @@ run2() {  # run2 <name> <cmd...>: two-pass, keep pass-2 output
   "$@" 2>&1 | tee -a "$LOG"
 }
 
-for stage in "${@:-flagship profile rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
+for stage in "${@:-flagship profile layers18 rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
 for s in $stage; do
 case $s in
   flagship)      run2 bench.py python bench.py ;;
   flagship512)   run2 bench512 python bench.py --batch 512 ;;
   profile)       run2 profile_r3b python scripts/profiling/profile_r3b.py ;;
+  layers18)      run2 profile_layers18 python scripts/profiling/profile_layers18.py ;;
   rawnet)        run2 profile_rawnet python scripts/profiling/profile_rawnet_r3b.py ;;
   fab)           run2 profile_fab python scripts/profiling/profile_fab.py ;;
   attacks)       run2 bench_attacks python scripts/bench_attacks.py ;;
