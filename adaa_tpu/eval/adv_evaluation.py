@@ -145,38 +145,39 @@ def generate_attacks(
         preds_dev = victim_predict(batch_x_attacked)
         if not need_callback:
             # no per-batch consumer: stay device-resident, one pull at
-            # the end (per-batch syncs stall the dispatch pipeline)
+            # the end (per-batch syncs stall the dispatch pipeline);
+            # labels come from the host-side batch, not the device copy
             y_pred.append(preds_dev)
-            y.append(np.asarray(batch_y))
+            y.append(np.asarray(batch[2]))
             continue
 
         preds = np.asarray(preds_dev)
         preds_label = (preds + 0.5).astype(np.int32)
 
-        if need_callback:
-            if raw_sample_from_dataset:
-                from adaa_tpu.data import base as dsp
+        # callback mode (the no-callback path continue'd above)
+        if raw_sample_from_dataset:
+            from adaa_tpu.data import base as dsp
 
-                repro_clean, _ = dsp.wavefake_preprocessing_on_batch(
-                    batch_x_noproc, batch_sr
-                )
-                batch_x = _shard(jnp.asarray(repro_clean))
-            preds_noattack = np.asarray(victim_predict(batch_x))
-            preds_noattack_label = (preds_noattack + 0.5).astype(np.int32)
-            on_attack_end_callback(
-                batch_x=batch_x_noproc,
-                batch_x_attacked=batch_x_attacked_noproc,
-                batch_y=np.asarray(batch_y),
-                batch_preds_label=preds_label,
-                batch_preds=preds,
-                batch_preds_noattack_label=preds_noattack_label,
-                batch_preds_noattack=preds_noattack,
-                batch_metadata=batch_meta,
+            repro_clean, _ = dsp.wavefake_preprocessing_on_batch(
+                batch_x_noproc, batch_sr
             )
+            batch_x = _shard(jnp.asarray(repro_clean))
+        preds_noattack = np.asarray(victim_predict(batch_x))
+        preds_noattack_label = (preds_noattack + 0.5).astype(np.int32)
+        on_attack_end_callback(
+            batch_x=batch_x_noproc,
+            batch_x_attacked=batch_x_attacked_noproc,
+            batch_y=np.asarray(batch_y),
+            batch_preds_label=preds_label,
+            batch_preds=preds,
+            batch_preds_noattack_label=preds_noattack_label,
+            batch_preds_noattack=preds_noattack,
+            batch_metadata=batch_meta,
+        )
 
         y_pred.append(preds)
         y_pred_label.append(preds_label)
-        y.append(np.asarray(batch_y))
+        y.append(np.asarray(batch[2]))
 
     if on_attack_end_callback is None and y_pred:
         y_pred = np.asarray(jnp.concatenate(y_pred))  # single pull

@@ -42,6 +42,7 @@ from adaa_tpu.utils.keys import host_split
 from adaa_tpu.training.gd_trainer import (
     GDTrainer,
     make_eval_step,
+    reduce_epoch_stats,
     train_step,
 )
 from adaa_tpu.utils.checkpoints import save_checkpoint
@@ -79,9 +80,15 @@ def make_adv_fn(attack_name: str, attack_module) -> Optional[AdvFn]:
 class AdversarialGDTrainer(GDTrainer):
     """RANDOM strategy base (trainer.py:213-476)."""
 
-    # True on strategies whose update_adv_attack consumes the per-batch
-    # loss (a host pull that stalls the dispatch pipeline)
-    needs_batch_loss = False
+    @property
+    def needs_batch_loss(self) -> bool:
+        """True iff the strategy overrides ``update_adv_attack`` (the
+        base hook is a no-op): only then is the per-batch loss pulled
+        to host — each pull stalls the dispatch pipeline."""
+        return (
+            type(self).update_adv_attack
+            is not AdversarialGDTrainer.update_adv_attack
+        )
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -277,13 +284,8 @@ class AdversarialGDTrainer(GDTrainer):
             if self.compute_eer:
                 outs.append(out)
                 labels.append(np.asarray(batch[2]))
-        test_loss = float(
-            jnp.stack(losses) @ jnp.asarray(bszs, jnp.float32)
-        ) if losses else 0.0
-        num_correct = float(jnp.stack(corrects).sum()) if corrects else 0.0
-        scores = (
-            [np.asarray(jax.nn.sigmoid(jnp.concatenate(outs).squeeze(-1)))]
-            if outs else []
+        test_loss, num_correct, scores = reduce_epoch_stats(
+            bszs, losses, corrects, outs
         )
         num_total = max(num_total, 1)
         if self.compute_eer and scores:
@@ -331,8 +333,6 @@ class OnlyOneAdversarialGDTrainer(AdversarialGDTrainer):
 class AdaptiveAdversarialGDTrainer(AdversarialGDTrainer):
     """loss-EMA weighted sampling over n attacks + no-attack arm
     (trainer.py:517-557)."""
-
-    needs_batch_loss = True  # loss-EMA sampling weights need it
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

@@ -102,6 +102,25 @@ def train_step(state: ts.TrainState, batch_x, batch_y, dropout_key, acc):
     return state, loss, acc
 
 
+def reduce_epoch_stats(bszs, losses, corrects, outs):
+    """One-pull reduction of deferred per-batch device stats.
+
+    The epoch loops keep losses/corrects/logits device-resident (a
+    per-batch float()/np.asarray() sync stalls the async dispatch
+    pipeline ~25 ms over the tunneled single-chip backend) and reduce
+    here: one stack/concat program + one transfer.
+    Returns (loss_sum, correct_sum, scores_list)."""
+    loss_sum = float(
+        jnp.stack(losses) @ jnp.asarray(bszs, jnp.float32)
+    ) if losses else 0.0
+    num_correct = float(jnp.stack(corrects).sum()) if corrects else 0.0
+    scores = (
+        [np.asarray(jax.nn.sigmoid(jnp.concatenate(outs).squeeze(-1)))]
+        if outs else []
+    )
+    return loss_sum, num_correct, scores
+
+
 def make_eval_step(apply_fn: Callable):
     @jax.jit
     def step(variables, batch_x, batch_y):
@@ -239,13 +258,8 @@ class GDTrainer:
             if compute_eer:
                 outs.append(out)
                 labels.append(np.asarray(batch_y))
-        test_loss = float(
-            jnp.stack(losses) @ jnp.asarray(bszs, jnp.float32)
-        ) if losses else 0.0
-        num_correct = float(jnp.stack(corrects).sum()) if corrects else 0.0
-        scores = (
-            [np.asarray(jax.nn.sigmoid(jnp.concatenate(outs).squeeze(-1)))]
-            if outs else []
+        test_loss, num_correct, scores = reduce_epoch_stats(
+            bszs, losses, corrects, outs
         )
         num_total = max(num_total, 1)
         eer_val = 0  # reference placeholder (trainer.py:171)

@@ -96,7 +96,14 @@ def test_two_process_cluster(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    finally:
+        # a hung handshake (port race, early worker crash) must not
+        # leak two blocked python processes into later runs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
