@@ -15,10 +15,13 @@ echo "sweep -> $LOG"
 
 run2() {  # run2 <name> <cmd...>: two-pass, keep pass-2 output
   local name=$1; shift
+  # bounded: a TPU-tunnel flap mid-stage must not hang the sweep
+  # (SIGTERM only — never kill -9 a TPU client, it wedges the lease)
   echo "=== $name pass1 $(date +%H:%M:%S)" | tee -a "$LOG"
-  "$@" >> "$LOG" 2>&1
+  timeout 2400 "$@" >> "$LOG" 2>&1 \
+    || echo "=== $name pass1 FAILED rc=$?" | tee -a "$LOG"
   echo "=== $name pass2 $(date +%H:%M:%S)" | tee -a "$LOG"
-  "$@" 2>&1 | tee -a "$LOG"
+  timeout 2400 "$@" 2>&1 | tee -a "$LOG"
 }
 
 for stage in "${@:-flagship profile layers18 rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
