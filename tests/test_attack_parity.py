@@ -337,3 +337,80 @@ def test_deepfool_output_parity(pair, xy, steps, atol):
                            jax.random.PRNGKey(0)))
     np.testing.assert_allclose(adv_j, ref, atol=atol, rtol=1e-3)
     assert np.abs(adv_j - x01).sum() > 0  # the attack actually moved
+
+
+def test_bim_output_parity(pair, xy):
+    """BIM's asymmetric running clamp (reference bim.py:41-78) against
+    the torch loop on identical weights — sign-step attack, so parity
+    is coordinate-exact wherever the gradient signs agree."""
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    eps, alpha, steps = 0.002, 0.001, 3
+
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    adv_t = xt.clone()
+    for _ in range(steps):
+        adv_t = adv_t.detach().requires_grad_(True)
+        z = oracle(adv_t)
+        cost = torch.nn.functional.cross_entropy(
+            torch.cat([-z, z], dim=1), yt
+        )
+        (g,) = torch.autograd.grad(cost, adv_t)
+        step = adv_t + alpha * g.sign()
+        a = torch.clamp(xt - eps, min=0)
+        b = torch.where(step >= a, step, a)
+        c = torch.where(b > xt + eps, xt + eps, b)
+        adv_t = torch.clamp(c, max=1).detach()
+    ref = adv_t.numpy()
+
+    from adaa_tpu.attacks.extra import bim
+
+    atk = bim(logits_fn, eps=eps, alpha=alpha, steps=steps)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+
+    agree = np.mean(np.abs(adv_j - ref) < 1e-6)
+    assert agree > 0.98, f"only {agree:.4%} of coordinates match"
+    assert (adv_j >= np.maximum(x01 - eps, 0) - 1e-6).all()
+    assert (adv_j <= np.minimum(x01 + eps, 1) + 1e-6).all()
+
+
+def test_pgdl2_output_parity(pair, xy):
+    """PGDL2 (reference pgdl2.py:64-90, random start disabled): the
+    normalized-gradient steps are continuous, so parity is tight-
+    tolerance coordinate-level, not sign-exact."""
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    eps, alpha, steps = 0.5, 0.05, 3
+
+    xt = torch.from_numpy(x01)
+    yt = torch.from_numpy(y)
+    adv_t = xt.clone()
+    for _ in range(steps):
+        adv_t = adv_t.detach().requires_grad_(True)
+        z = oracle(adv_t)
+        cost = torch.nn.functional.cross_entropy(
+            torch.cat([-z, z], dim=1), yt
+        )
+        (g,) = torch.autograd.grad(cost, adv_t)
+        gn = g.reshape(B, -1).norm(p=2, dim=1) + 1e-10
+        adv_t = adv_t.detach() + alpha * g / gn[:, None]
+        delta = adv_t - xt
+        dn = delta.reshape(B, -1).norm(p=2, dim=1)
+        factor = torch.clamp(eps / dn, max=1.0)
+        adv_t = torch.clamp(xt + delta * factor[:, None], 0, 1).detach()
+    ref = adv_t.numpy()
+
+    from adaa_tpu.attacks.gradient import pgdl2
+
+    atk = pgdl2(logits_fn, eps=eps, alpha=alpha, steps=steps,
+                random_start=False)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+
+    # framework f32 reassociation perturbs the normalized direction at
+    # ~1e-5 relative; with alpha=0.05 x 3 steps the observed worst
+    # coordinate drift is ~1e-4 (1 of 32k elements)
+    np.testing.assert_allclose(adv_j, ref, atol=2e-4)
+    assert np.linalg.norm(adv_j - x01, axis=1).max() <= eps + 1e-5
