@@ -168,8 +168,12 @@ def _momentum_family(logits_fn, eps, alpha, steps, decay, nesterov=False,
             adv, momentum = carry
             point = adv + decay * alpha * momentum if nesterov else adv
             if scales:
+                # the reference differentiates w.r.t. adv THROUGH the
+                # /2^i scaling (sinifgsm.py:61-71), so each scale's
+                # gradient carries a 1/2^i chain factor
                 g = sum(
-                    grad_fn(point / (2.0 ** i), y) for i in range(scales)
+                    grad_fn(point / (2.0 ** i), y) / (2.0 ** i)
+                    for i in range(scales)
                 ) / scales
             else:
                 g = grad_fn(point, y)
@@ -350,7 +354,14 @@ def jitter(logits_fn, eps: float = 8 / 255, alpha: float = 2 / 255,
            random_start: bool = True) -> core.AttackFn:
     """Jitter (jitter.py:44-98): MSE to one-hot on Linf-normalized
     scaled softmax, divided by the perturbation norm for already-wrong
-    samples."""
+    samples.
+
+    NOTE: under the 2-class widening this loss is gradient-degenerate —
+    hat_z = softmax(scale*(-z,z)/|z|) depends on z only through sign(z),
+    so the cost is piecewise constant and the a.e.-zero gradient makes
+    the sign steps roundoff-noise-driven (the reference would behave
+    identically had it adapted Jitter; see
+    tests/test_attack_parity.py::test_jitter_2class_degeneracy)."""
 
     def attack(x, y, key):
         def cost_fn(adv, k):
