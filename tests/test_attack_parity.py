@@ -715,3 +715,117 @@ def test_jitter_2class_degeneracy(pair, xy):
     assert np.isfinite(adv_j).all()
     assert (np.abs(adv_j - x01) <= EPS + 1e-6).all()
     assert (np.abs(adv_j - x01) <= STEPS * ALPHA + 1e-6).all()
+
+
+def _variance_offsets(key, steps, n, shape, eps, beta):
+    """Replicate _variance_family's neighbor-draw key schedule."""
+    offs = []
+    for k in jax.random.split(key, steps):
+        kn = jax.random.split(k, n)
+        offs.append([
+            np.array(jax.random.uniform(
+                kk, shape, jnp.float32, -eps * beta, eps * beta))
+            for kk in kn
+        ])
+    return offs
+
+
+@pytest.mark.parametrize("nesterov", [False, True],
+                         ids=["vmifgsm", "vnifgsm"])
+def test_variance_family_output_parity(pair, xy, nesterov):
+    """VMIFGSM / VNIFGSM (vmifgsm.py:46-110, vnifgsm.py:55-115):
+    variance tuning with N uniform neighbors; the jax neighbor draws
+    are exported and replayed in the torch loop."""
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    decay, n, beta = 1.0, 2, 1.5
+    key = jax.random.PRNGKey(9)
+    offs = _variance_offsets(key, STEPS, n, x01.shape, EPS, beta)
+
+    xt, yt = torch.from_numpy(x01), torch.from_numpy(y)
+    adv_t = xt.clone()
+    m = torch.zeros_like(xt)
+    v = torch.zeros_like(xt)
+    for s in range(STEPS):
+        point = adv_t + decay * ALPHA * m if nesterov else adv_t
+        g = _ce_grad(oracle, point, yt)
+        avg = g + v
+        gm = decay * m + avg / _mean_abs_t(avg)
+        m = gm
+        gv = sum(
+            _ce_grad(oracle, adv_t + torch.from_numpy(offs[s][i]), yt)
+            for i in range(n)
+        )
+        v = gv / n - g
+        adv_t = _linf_step(xt, adv_t, gm, ALPHA, EPS)
+    ref = adv_t.numpy()
+
+    from adaa_tpu.attacks.extra import vmifgsm, vnifgsm
+
+    factory = vnifgsm if nesterov else vmifgsm
+    atk = factory(logits_fn, eps=EPS, alpha=ALPHA, steps=STEPS, decay=decay,
+                  N=n, beta=beta)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           key))
+    _assert_sign_step_parity(adv_j, ref, x01, EPS)
+
+
+def test_difgsm_output_parity(pair, xy):
+    """DIFGSM (difgsm.py:48-110) with diversity_prob=0: the transform
+    is never applied, so the loop reduces to deterministic MIFGSM —
+    pins the difgsm wiring (key plumbing, momentum, clamp order)."""
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    decay = 1.0
+    xt, yt = torch.from_numpy(x01), torch.from_numpy(y)
+    adv_t, m = xt.clone(), torch.zeros_like(xt)
+    for _ in range(STEPS):
+        g = _ce_grad(oracle, adv_t, yt)
+        g = g / _mean_abs_t(g) + m * decay
+        m = g
+        adv_t = _linf_step(xt, adv_t, g, ALPHA, EPS)
+    ref = adv_t.numpy()
+
+    from adaa_tpu.attacks.extra import difgsm
+
+    atk = difgsm(logits_fn, eps=EPS, alpha=ALPHA, steps=STEPS, decay=decay,
+                 diversity_prob=0.0, random_start=False)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+    _assert_sign_step_parity(adv_j, ref, x01, EPS)
+
+
+def test_tifgsm_output_parity(pair, xy):
+    """TIFGSM (tifgsm.py) with diversity_prob=0: deterministic
+    translation-invariant smoothing. The 1-D gaussian kernel conv on
+    the wave axis is this port's audio adaptation of the reference's
+    2-D kernel conv (tifgsm.py:92) — the torch loop replicates that
+    adaptation on identical weights."""
+    import scipy.stats as st
+
+    oracle, _, _, logits_fn = pair
+    x01, y = xy
+    decay, len_kernel, nsig = 1.0, 15, 3
+    kern1d = st.norm.pdf(np.linspace(-nsig, nsig, len_kernel))
+    kernel = torch.from_numpy(
+        (kern1d / kern1d.sum()).astype(np.float32))[None, None, :]
+
+    xt, yt = torch.from_numpy(x01), torch.from_numpy(y)
+    adv_t, m = xt.clone(), torch.zeros_like(xt)
+    for _ in range(STEPS):
+        g = _ce_grad(oracle, adv_t, yt)
+        g = torch.nn.functional.conv1d(
+            g[:, None, :], kernel, padding=len_kernel // 2)[:, 0]
+        g = g / _mean_abs_t(g) + m * decay
+        m = g
+        adv_t = _linf_step(xt, adv_t, g, ALPHA, EPS)
+    ref = adv_t.numpy()
+
+    from adaa_tpu.attacks.extra import tifgsm
+
+    atk = tifgsm(logits_fn, eps=EPS, alpha=ALPHA, steps=STEPS, decay=decay,
+                 kernel_name="gaussian", len_kernel=len_kernel, nsig=nsig,
+                 diversity_prob=0.0, random_start=False)
+    adv_j = np.asarray(atk(jnp.asarray(x01), jnp.asarray(y.astype(np.int32)),
+                           jax.random.PRNGKey(0)))
+    _assert_sign_step_parity(adv_j, ref, x01, EPS)
