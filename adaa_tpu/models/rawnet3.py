@@ -18,6 +18,17 @@ Reproduced reference quirks:
   sr/2 - 100 Hz, half-Hamming window, cos+sin filter pairs.
 
 Layout: channels-last (B, T, C) 1D convs.
+
+Attack-path roofline (why rawnet3:PGD throughput sits where it does):
+one forward is ~37 GFLOP/sample (dominated by layer1's 1x1 convs at
+T=6435: conv1 3.4 + 7 scale convs 4.4 + conv3 13.5 + residual 3.4
+GFLOP, then 6.3/2.1 GFLOP for layers 2/3 and ~3.4 for the pyramid +
+pooling head). Attack backwards prune dW, so a PGD step is ~2 forwards
+and PGD-10 ~0.78 TFLOP/sample; v5e bf16 peak (197 TFLOPs) therefore
+caps PGD-10 at ~250 ex/s at 100% MFU — the measured ~80 ex/s is ~32%
+MFU, i.e. within ~2x of a realistically attainable bound, not 10x off.
+Contrast LCNN at ~2.5 GFLOP/sample whose flagship bench rides the
+fused Pallas layer-0.
 """
 from __future__ import annotations
 
