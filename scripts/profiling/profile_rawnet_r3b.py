@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 
 jax.config.update(
     "jax_compilation_cache_dir", str(Path(__file__).parents[2] / ".jax_cache")
@@ -110,6 +111,55 @@ def main():
             lambda hh: jnp.sum(mod.apply(var, hh).astype(jnp.float32))
         )
 
+    # layer1 internals at T=6435 (the docstring roofline says this block
+    # is ~2/3 of the model FLOPs; find where its time actually goes).
+    # Random weights, bf16 in/out, input-grad only (attacks prune dW).
+    bf = jnp.bfloat16
+    wrng = np.random.default_rng(7)
+
+    def mk(shape):
+        return jnp.asarray(
+            wrng.standard_normal(shape).astype(np.float32) * 0.05
+        ).astype(bf)
+
+    k1 = mk((1, 256, 1024))      # conv1 1x1
+    k3 = mk((1, 1024, 1024))     # conv3 1x1
+    kres = mk((1, 256, 1024))    # residual 1x1
+    ksc = [mk((3, 128, 128)) for _ in range(7)]  # scale convs
+
+    def conv1d(h, k, dil=1, pad=0):
+        return jax.lax.conv_general_dilated(
+            h, k, (1,), [(pad, pad)] if pad else "VALID",
+            rhs_dilation=(dil,),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+
+    def l1_conv1_seg(h):          # (B,T,256) -> (B,T,1024)
+        return nn.relu(conv1d(h, k1))
+
+    def l1_scalechain_seg(h):     # (B,T,1024) -> (B,T,1024)
+        spx = jnp.split(h, 8, axis=-1)
+        outs, sp = [], None
+        for i in range(7):
+            sp = spx[i] if i == 0 else sp + spx[i]
+            sp = nn.relu(conv1d(sp, ksc[i], dil=2, pad=2))
+            outs.append(sp)
+        outs.append(spx[7])
+        return jnp.concatenate(outs, axis=-1)
+
+    def l1_conv3_seg(h):          # (B,T,1024) -> (B,T,1024)
+        return nn.relu(conv1d(h, k3))
+
+    def l1_matmul_ref(h):         # same FLOPs as conv3 as one einsum
+        return nn.relu(jnp.einsum(
+            "btc,cd->btd", h, k3[0],
+            preferred_element_type=jnp.bfloat16))
+
+    h256 = h1  # (B, 6435, 256) bf16
+    h1024 = mk((BATCH, T1, 1024))
+
+    def seg_grad(fn):
+        return jax.grad(lambda hh: jnp.sum(fn(hh).astype(jnp.float32)))
+
     results = {}
     results["fwdbwd_full_ms"] = scan_time(grad_full, x)
     results["fwd_full_ms"] = scan_time(logits_fn, x)
@@ -118,6 +168,12 @@ def main():
     results["layer1_fwdbwd_ms"] = scan_time(block_grad(l1, v1), h1)
     results["layer2_fwdbwd_ms"] = scan_time(block_grad(l2, v2), h2)
     results["layer3_fwdbwd_ms"] = scan_time(block_grad(l3, v3), h3)
+    results["l1_conv1_fwdbwd_ms"] = scan_time(seg_grad(l1_conv1_seg), h256)
+    results["l1_scalechain_fwdbwd_ms"] = scan_time(
+        seg_grad(l1_scalechain_seg), h1024)
+    results["l1_conv3_fwdbwd_ms"] = scan_time(seg_grad(l1_conv3_seg), h1024)
+    results["l1_matmul_ref_fwdbwd_ms"] = scan_time(
+        seg_grad(l1_matmul_ref), h1024)
     for k, v in results.items():
         print(f"{k:24s} {v:9.3f}")
     out = Path(__file__).parent / "profile_rawnet_r3b.json"
