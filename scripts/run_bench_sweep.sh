@@ -5,11 +5,15 @@
 # XLA compiles overcount 8-25x (CLAUDE.md). Stages run sequentially:
 # the axon TPU is single-client.
 #
-# Usage: bash scripts/run_bench_sweep.sh [stage...]
+# Usage: [SWEEP_TIMEOUT=sec] bash scripts/run_bench_sweep.sh [stage...]
 #   stages: flagship flagship512 profile rawnet fab attacks attacks_models
 #           fab256 effectiveness   (default: all in that order)
+# SWEEP_TIMEOUT: per-pass SIGTERM bound. The 2400 s default assumes a
+# multi-core host; on a 1-vCPU VM cold compiles run ~8x longer — use
+# 10800 there (see CLAUDE.md "CHECK nproc FIRST").
 set -u
 cd "$(dirname "$0")/.."
+BOUND=${SWEEP_TIMEOUT:-2400}
 LOG=logs/bench_sweep_$(date +%s).log
 echo "sweep -> $LOG"
 
@@ -18,10 +22,10 @@ run2() {  # run2 <name> <cmd...>: two-pass, keep pass-2 output
   # bounded: a TPU-tunnel flap mid-stage must not hang the sweep
   # (SIGTERM only — never kill -9 a TPU client, it wedges the lease)
   echo "=== $name pass1 $(date +%H:%M:%S)" | tee -a "$LOG"
-  timeout 2400 "$@" >> "$LOG" 2>&1 \
+  timeout "$BOUND" "$@" >> "$LOG" 2>&1 \
     || echo "=== $name pass1 FAILED rc=$?" | tee -a "$LOG"
   echo "=== $name pass2 $(date +%H:%M:%S)" | tee -a "$LOG"
-  timeout 2400 "$@" 2>&1 | tee -a "$LOG"
+  timeout "$BOUND" "$@" 2>&1 | tee -a "$LOG"
 }
 
 for stage in "${@:-flagship profile layers18 rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
