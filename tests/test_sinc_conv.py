@@ -57,3 +57,23 @@ def test_sinc_conv_need_dw_false_poisons_dw_only(rng):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
                                atol=1e-4, rtol=1e-4)
     assert bool(jnp.isnan(gw).all())
+
+
+def test_sinc_conv_bf16_dx_close_to_f32(rng):
+    """bf16 fast path: the (B,T,K) frame buffer is stored bf16 with an
+    f32 overlap-add accumulator; dx must stay within bf16 rounding of
+    the f32 closed form (the caller downgrades bf16->f32 on CPU, so
+    exercise the cached bf16 builder directly)."""
+    from adaa_tpu.ops.sinc_conv import _sinc_conv_fn
+
+    x = jnp.asarray(rng.standard_normal((2, 1200)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((8, 251)) * 0.1).astype(np.float32))
+
+    fn = _sinc_conv_fn(10, False, "bf16")
+    gx = jax.grad(lambda x: jnp.sum(jnp.sin(fn(x, w))))(x)
+    rx = jax.grad(lambda x: jnp.sum(jnp.sin(_ref(x, w, 10))))(x)
+    gx, rx = np.asarray(gx), np.asarray(rx)
+    assert gx.dtype == np.float32
+    # bf16 has ~3 decimal digits; scale tolerance by the grad magnitude
+    scale = np.abs(rx).max()
+    np.testing.assert_allclose(gx, rx, atol=0.02 * scale, rtol=0.02)
