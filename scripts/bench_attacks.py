@@ -15,11 +15,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
+from datetime import date
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def provenance() -> str:
+    """Row provenance stamp: '<git-short-rev> <iso-date>' at measure time."""
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parents[1],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        rev = "unknown"
+    return f"{rev} {date.today().isoformat()}"
 
 WAVE_LEN = 64_600
 OUT = Path(__file__).resolve().parent.parent / "BENCH_ATTACKS.json"
@@ -130,6 +145,7 @@ def main():
             f"ms_per_batch{args.batch}": round(ms, 1),
             "examples_per_sec": round(args.batch * args.iters / dt, 1),
             "compile_s": round(compile_s, 1),
+            "measured_at": provenance(),
         }
         print(f"{row_key}: {results[row_key]}")
 

@@ -82,11 +82,14 @@ def run_family(model_name, base_cfg, surrogates, batch=BATCH):
         z_adv = np.asarray(victim_logits(adv)).squeeze(-1)
         shift = np.abs(z_adv - z_clean)
         flips = ((z_adv > 0) != (z_clean > 0)).mean()
+        from scripts.bench_attacks import provenance
+
         res = {
             "mean_abs_logit_shift": float(shift.mean()),
             "flip_rate": float(flips),
             "examples_per_sec": round(batch / dt, 1),
             "compile_s": round(compile_s, 1),
+            "measured_at": provenance(),
         }
         print(f"{name}: {res}", flush=True)
         return res
@@ -100,7 +103,8 @@ def main():
     import jax
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--families", nargs="*", default=["lcnn", "rawnet3"])
+    parser.add_argument(
+        "--families", nargs="*", default=["lcnn", "specrnet", "rawnet3"])
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -123,6 +127,23 @@ def main():
                     extra_cfg={"compute_dtype": "bfloat16"}),
             },
         ))
+        out.write_text(json.dumps(results, indent=1))
+    if "specrnet" in args.families:
+        results.update({
+            f"specrnet:{k}": v for k, v in run_family(
+                "specrnet",
+                {"input_channels": 1, "frontend_algorithm": ["lfcc"]},
+                {
+                    "f32_surrogate": dict(),
+                    "bf16_trunk_f32_frontend": dict(
+                        env={"ADAA_BF16_FRONTEND": "0"},
+                        extra_cfg={"compute_dtype": "bfloat16"}),
+                    "bf16_trunk_bf16_frontend": dict(
+                        env={"ADAA_BF16_FRONTEND": "1"},
+                        extra_cfg={"compute_dtype": "bfloat16"}),
+                },
+            ).items()
+        })
         out.write_text(json.dumps(results, indent=1))
     if "rawnet3" in args.families:
         # raw-waveform family: the "frontend" knob is the sinc encoder
