@@ -2,9 +2,10 @@
 
 Keeps the reference's dataset-path flag surface (reference:
 train_models.py:155-235, evaluate_models.py:159-190) and adds one
-extension: passing ``synthetic[:N]`` as ``--asv_path`` selects the
-in-memory synthetic dataset (this environment carries no audio
-corpora; tests/benchmarks need a data source).
+extension: passing ``synthetic[:N[:L]]`` as ``--asv_path`` selects the
+in-memory synthetic dataset with N items of L samples each (this
+environment carries no audio corpora; tests/benchmarks need a data
+source).
 """
 from __future__ import annotations
 
@@ -81,13 +82,17 @@ def build_dataset(
     if isinstance(asv, str) and asv.startswith("synthetic"):
         from adaa_tpu.data.synthetic import SyntheticDataset
 
-        n = int(asv.split(":")[1]) if ":" in asv else 256
+        parts = asv.split(":")
+        n = int(parts[1]) if len(parts) > 1 else 256
         if reduced_number:
             n = min(n, reduced_number)
+        kwargs = {}
+        if len(parts) > 2:  # synthetic:N:L — short waves for fast tests
+            kwargs["wave_length"] = int(parts[2])
         return SyntheticDataset(
             n=n, subset=subset,
             return_label=return_label, return_meta=return_meta,
-            return_raw=return_raw,
+            return_raw=return_raw, **kwargs,
         )
 
     from adaa_tpu.data.detection import DetectionDataset

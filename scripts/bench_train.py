@@ -85,24 +85,34 @@ def main():
         y = jnp.asarray((np.arange(args.batch) % 2).astype(np.int32))
         key = jax.random.PRNGKey(1)
 
+        # pre-split keys OUTSIDE the timed loop: a host-side
+        # jax.random.split per iteration is its own device program whose
+        # tunnel dispatch stalls the pipeline ~25-110 ms/iter — it made
+        # round 3's rows read ~157 ms/step for BOTH dtypes when the real
+        # device step is ~40 ms (bf16) / ~95 ms (f32)
+        # (scripts/profiling/profile_train_r4.py)
+        keys = list(jax.random.split(key, args.iters + 2))
+
         t0 = time.perf_counter()
-        state, loss = step(state, x, y, key)
+        state, loss = step(state, x, y, keys[0])
         float(loss)
         compile_s = time.perf_counter() - t0
-        state, loss = step(state, x, y, key)  # warmup
+        state, loss = step(state, x, y, keys[1])  # warmup
         float(loss)
 
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            key, k = jax.random.split(key)
-            state, loss = step(state, x, y, k)
+        for i in range(args.iters):
+            state, loss = step(state, x, y, keys[2 + i])
         float(loss)
         dt = time.perf_counter() - t0
+        from scripts.bench_attacks import provenance
+
         results[f"adv_train_fgsm_bce_{mode}"] = {
             "examples_per_sec": round(args.batch * args.iters / dt, 1),
             "ms_per_step": round(dt / args.iters * 1e3, 1),
             "batch": args.batch,
             "compile_s": round(compile_s, 1),
+            "measured_at": provenance(),
         }
         print(f"{mode}: {results[f'adv_train_fgsm_bce_{mode}']}", flush=True)
 

@@ -35,7 +35,11 @@ case $s in
   flagship512)   run2 bench512 python bench.py --batch 512 ;;
   profile)       run2 profile_r3b python scripts/profiling/profile_r3b.py ;;
   layers18)      run2 profile_layers18 python scripts/profiling/profile_layers18.py ;;
+  layers_r4)     run2 profile_layers_r4 python scripts/profiling/profile_layers_r4.py ;;
   rawnet)        run2 profile_rawnet python scripts/profiling/profile_rawnet_r3b.py ;;
+  rawnet_r4)     run2 profile_rawnet_r4 python scripts/profiling/profile_rawnet_r4.py ;;
+  train)         run2 bench_train python scripts/bench_train.py ;;
+  train_profile) run2 profile_train python scripts/profiling/profile_train_r4.py ;;
   fab)           run2 profile_fab python scripts/profiling/profile_fab.py ;;
   attacks)       run2 bench_attacks python scripts/bench_attacks.py ;;
   attacks_models)
