@@ -17,6 +17,7 @@ one big batched matmul (MXU) — the TPU-idiomatic recurrence shape.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -108,9 +109,26 @@ def mfm_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:
 
 def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
     """torch MaxPool1d with floor mode on NLC input (reshape + max —
-    see max_pool_2d for why not reduce_window)."""
+    see max_pool_2d for why not reduce_window).
+
+    ``ADAA_PALLAS_POOL=1`` routes bf16 pools through the Pallas
+    streaming kernel (ops/pallas_pool.py). Off by default: on the real
+    v5e it measured a wash against the reshape-max at RawNet3 layer1's
+    (64, 6435, 1024) — 12.81 vs 12.84 ms fwd+bwd standalone, 51.7 vs
+    51.5 ms for the whole layer (profile_rawnet_r4.json) — both ~3x the
+    ~4 ms HBM-traffic floor, so the cost is NOT the relayout the kernel
+    removes. Kept as a measured experiment; the f32 parity path never
+    uses it.
+    """
     stride = stride or window
     assert window == stride, "non-overlapping pools only"
+    if (x.dtype == jnp.bfloat16
+            and os.environ.get("ADAA_PALLAS_POOL") == "1"
+            and jax.default_backend() not in ("cpu",)):
+        from adaa_tpu.ops import pallas_pool
+
+        if pallas_pool.supported(x, window):
+            return pallas_pool.max_pool_1d(x, window)
     b, l, c = x.shape
     l2 = l // window
     x = x[:, : l2 * window, :]

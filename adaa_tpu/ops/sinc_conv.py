@@ -64,17 +64,27 @@ def _sinc_conv_fn(stride: int, need_dw: bool, compute: str = "f32"):
         s = stride
         c = -(-k // s)  # hop-chunks per kernel window
 
-        # dx: frame cotangents -> overlap-add of hop-sized chunks
-        gg = jnp.einsum("btf,fn->btn", g.astype(in_dtype),
-                        filters.astype(in_dtype),
-                        preferred_element_type=jnp.float32)  # (B, T, K)
-        gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c * s - k)))
-        gg = gg.reshape(b, t, c, s)
+        # dx: frame cotangents -> overlap-add of hop-sized chunks.
+        # dx[b, r*s+q] = sum_j gg[b, r-j, j, q] — a diagonal sum over
+        # (t, j). The first implementation did it as c sequential
+        # ``.at[j:j+t].add`` ops (c=26 full passes over a (B,T,s) f32
+        # accumulator, ~8 ms of RawNet3's 10.2 ms sinc fwd+bwd); here
+        # it is zero-FLOP reshapes: with the frame axis ordered
+        # (b, j, t, q) row-major, element (j, t) sits at flat index
+        # j*(T+c)+t after padding t to T+c, so re-slicing the merged
+        # axis with row stride T+c-1 shifts row j left by j — exactly
+        # the diagonal alignment — and one sum over j finishes the job.
+        gg = jnp.einsum("btf,fjq->bjtq", g.astype(in_dtype),
+                        jnp.pad(filters, ((0, 0), (0, c * s - k)))
+                        .reshape(-1, c, s).astype(in_dtype),
+                        preferred_element_type=jnp.float32)  # (B,c,T,s)
+        gg = gg.astype(in_dtype)  # frame buffer stored at trunk width
         rows = t + c - 1
-        acc = jnp.zeros((b, rows, s), gg.dtype)
-        for j in range(c):
-            acc = acc.at[:, j : j + t].add(gg[:, :, j])
-        dx = acc.reshape(b, rows * s)
+        gg = jnp.pad(gg, ((0, 0), (0, 0), (0, c), (0, 0)))
+        gg = gg.reshape(b, c * (t + c), s)[:, : c * rows]
+        dx = (gg.reshape(b, c, rows, s)
+              .astype(jnp.float32).sum(axis=1))  # f32 accumulator
+        dx = dx.reshape(b, rows * s)
         dx = dx[:, :l] if rows * s >= l else jnp.pad(
             dx, ((0, 0), (0, l - rows * s)))
 

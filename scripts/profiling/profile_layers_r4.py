@@ -122,11 +122,29 @@ def main():
             y = jnp.maximum(conv2d(hh, kl, 1) + bl, conv2d(hh, kr, 1) + br)
             if pooled:
                 b2, h2, w2, c2 = y.shape
+                y = y[:, : h2 // 2 * 2, : w2 // 2 * 2, :]  # floor mode
                 y = y.reshape(b2, h2 // 2, 2, w2 // 2, 2, c2).max((2, 4))
             return y
 
+        def lanepool(hh, kern=kern, bias=bias, feat=feat, pooled=pooled):
+            """MFM + 2x2 pool as free views + lane-sliced max tree: the
+            (B,H/2,2,W/2,2,C/2) reshape-max puts width-2 dims on sublane
+            axes (mosaic relayouts); fusing them into the lane dim needs
+            only C-multiple lane slices."""
+            y = conv2d(hh, kern, 1) + bias
+            if not pooled:
+                c = y.shape[-1]
+                return jnp.maximum(y[..., :c // 2], y[..., c // 2:])
+            b2, h2, w2, c2 = y.shape
+            h3, w3 = h2 // 2, w2 // 2
+            y = y[:, : h3 * 2, :, :].reshape(b2, h3, 2 * w2 * c2)
+            y = jnp.maximum(y[..., : w2 * c2], y[..., w2 * c2:])
+            y = y.reshape(b2, h3, w3, 2 * c2)  # w2 even for these layers
+            y = jnp.maximum(y[..., :c2], y[..., c2:])
+            return jnp.maximum(y[..., : c2 // 2], y[..., c2 // 2:])
+
         for tag, fn in (("base", base), ("im2col", im2col),
-                        ("halfmax", halfmax)):
+                        ("halfmax", halfmax), ("lanepool", lanepool)):
             results[f"{name}_{tag}_fwd_ms"] = scan_time(fn, x)
             results[f"{name}_{tag}_fwdbwd_ms"] = scan_time(grad_of(fn), x)
             print(f"{name}_{tag}: fwd {results[f'{name}_{tag}_fwd_ms']:.3f} "

@@ -106,6 +106,42 @@ def main():
     # ---- isolated pieces ---------------------------------------------
     results["pool5_fwdbwd_ms"] = scan_time(
         seg_grad(lambda hh: layers.max_pool_1d(hh, 5)), h1024)
+
+    def max_pool_1d_lane(x, window):
+        """Pool via a free (B, L/w, w*C) view + max-tree over LANE-dim
+        slices: the (B, L/w, w, C) reshape puts a width-w dim on the
+        sublane axis, which mosaic can only handle with relayout copies
+        (the standalone pool5 row costs 10.6 ms for a ~4 ms-of-traffic
+        op); C-aligned lane slices need none."""
+        b, l, c = x.shape
+        l2 = l // window
+        y = x[:, : l2 * window, :].reshape(b, l2, window * c)
+        out = y[..., :c]
+        for i in range(1, window):
+            out = jnp.maximum(out, y[..., i * c:(i + 1) * c])
+        return out
+
+    results["pool5_lane_fwdbwd_ms"] = scan_time(
+        seg_grad(lambda hh: max_pool_1d_lane(hh, 5)), h1024)
+
+    from adaa_tpu.ops import pallas_pool
+
+    results["pool5_pallas_fwdbwd_ms"] = scan_time(
+        seg_grad(lambda hh: pallas_pool.max_pool_1d(hh, 5)), h1024)
+
+    # full layer1 with the pallas pool substituted (monkeypatch is
+    # safe: the profiler is a standalone process)
+    orig_pool = layers.max_pool_1d
+    layers.max_pool_1d = lambda x, w, stride=None: (
+        pallas_pool.max_pool_1d(x, w)
+        if pallas_pool.supported(x, w) else orig_pool(x, w, stride))
+    try:
+        l1m, h1m = blocks["layer1"]
+        v1m = l1m.init(jax.random.PRNGKey(1), h1m)
+        results["layer1_pallaspool_fwdbwd_ms"] = scan_time(
+            seg_grad(lambda hh: l1m.apply(v1m, hh)), h1m)
+    finally:
+        layers.max_pool_1d = orig_pool
     afms = AFMS(1024)
     av = afms.init(jax.random.PRNGKey(2), h1024_5)
     results["afms_fwdbwd_ms"] = scan_time(
