@@ -7,16 +7,22 @@ differential_evolution (modified for whole-population batched fitness,
 _differential_evolution.py:1-10) per sample with per-sample
 success-callback early stop.
 
-TPU-native redesign: one synchronous rand/1/bin DE runs for ALL batch
-samples at once — the population is just another batch dimension, the
-fitness is a (B * pop) model forward chunked to ``inf_batch``
-(reference inf_batch=128, onepixel.py:37), generations are a
-``lax.scan``, and per-sample success freezes that sample's population
-(masking replaces the host callback). Documented deviations from
-scipy's DE: synchronous (not steady-state) selection, boundary clipping
-instead of random reinit, independent r0/r1/r2 draws (collision
-probability ~pop^-2). The optimizer family and all public knobs
-(pixels, steps, popsize) are preserved.
+TPU-native redesign: one DE runs for ALL batch samples at once — the
+population is just another batch dimension, the fitness is a (B * pop)
+model forward chunked to ``inf_batch`` (reference inf_batch=128,
+onepixel.py:37), generations are a ``lax.scan``, and per-sample success
+freezes that sample's population (masking replaces the host callback).
+
+The optimizer semantics match the reference fork exactly (see
+attacks/differential_evolution.py): best1bin mutants off the slot-0
+best, r0/r1 sampled without replacement excluding the candidate,
+unit-cube internal coordinates, random re-init (not clipping) at
+bounds, CR=1 full-mutant trials (onepixel.py:88 ``recombination=1``),
+and the initial best swapped into slot 0. The only deviation left is
+the PRNG (JAX keys vs the numpy singleton). Public knobs (pixels,
+steps, popsize, inf_batch) are preserved; the population size follows
+scipy's ``max(5, popmul * n_params)`` with
+``popmul = max(1, popsize // n_params)`` (onepixel.py:62).
 """
 from __future__ import annotations
 
@@ -24,6 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from adaa_tpu.attacks import core
+from adaa_tpu.attacks.differential_evolution import (
+    de_generation_unit,
+    de_select_best0,
+    swap_best_to_slot0,
+)
 
 
 def onepixel(
@@ -35,10 +46,10 @@ def onepixel(
 ) -> core.AttackFn:
     n_params = 3 * pixels  # (pos_x, pos_y, value) per pixel; pos_x in [0,1)
     popmul = max(1, popsize // n_params)
-    pop_n = popmul * n_params  # scipy popsize semantics (multiplier)
+    pop_n = max(5, popmul * n_params)  # scipy popsize semantics
 
     def perturb_one(x, delta):
-        """x: (L,), delta: (n_params,) -> perturbed (L,)."""
+        """x: (L,), delta: (n_params,) real coords -> perturbed (L,)."""
         out = x
         for p in range(pixels):
             pos = delta[3 * p + 1].astype(jnp.int32)
@@ -53,7 +64,7 @@ def onepixel(
         return jax.nn.sigmoid(2.0 * sign * z)
 
     def fitness(x, y, pop):
-        """x: (B, L), pop: (B, P, n_params) -> (B, P) true-class prob."""
+        """x: (B, L), pop: (B, P, n_params) real -> (B, P) true-class prob."""
         b, length = x.shape
         perturbed = jax.vmap(
             lambda xi, pi: jax.vmap(lambda d: perturb_one(xi, d))(pi)
@@ -76,34 +87,29 @@ def onepixel(
 
     def attack(x, y, key):
         b, length = x.shape
+        # real-coordinate box: the reference's bounds [(0,H),(0,W),(0,1)]
+        # on the (B,1,1,L) wave-as-image (onepixel.py:59-60)
         bounds_hi = jnp.asarray([1.0, float(length), 1.0] * pixels)
-        bounds_lo = jnp.zeros((n_params,))
+
+        def scale(u):  # unit cube -> real coords (lo = 0 for every dim)
+            return u * bounds_hi
 
         k_init, k_loop = jax.random.split(key)
-        pop = (
-            jax.random.uniform(k_init, (b, pop_n, n_params))
-            * (bounds_hi - bounds_lo)
-            + bounds_lo
-        )
-        energy = fitness(x, y, pop)  # lower = more adversarial
+        pop = jax.random.uniform(k_init, (b, pop_n, n_params))
+        energy = fitness(x, y, scale(pop))  # lower = more adversarial
+        pop, energy = swap_best_to_slot0(pop, energy)
         done = jnp.zeros((b,), bool)
 
         def generation(carry, k):
             pop, energy, done = carry
-            kf, kr, km = jax.random.split(k, 3)
-            f = jax.random.uniform(kf, (), minval=0.5, maxval=1.0)
-            idx = jax.random.randint(kr, (3, b, pop_n), 0, pop_n)
-            r0 = jnp.take_along_axis(pop, idx[0][..., None], axis=1)
-            r1 = jnp.take_along_axis(pop, idx[1][..., None], axis=1)
-            r2 = jnp.take_along_axis(pop, idx[2][..., None], axis=1)
-            trial = jnp.clip(r0 + f * (r1 - r2), bounds_lo, bounds_hi)
-            trial_energy = fitness(x, y, trial)
-            improved = trial_energy < energy
-            accept = improved & ~done[:, None]
-            pop = jnp.where(accept[..., None], trial, pop)
-            energy = jnp.where(accept, trial_energy, energy)
-            # success callback: best member flips the prediction
-            done = done | (energy.min(axis=1) < 0.5)
+            trial = de_generation_unit(pop, k, (0.5, 1.0), 1.0)
+            trial_energy = fitness(x, y, scale(trial))
+            pop, energy = de_select_best0(
+                pop, energy, trial, trial_energy,
+                accept_mask=~done[:, None],
+            )
+            # success callback: the slot-0 best flips the prediction
+            done = done | (energy[:, 0] < 0.5)
             return (pop, energy, done), None
 
         keys = jax.random.split(k_loop, steps)
@@ -111,11 +117,7 @@ def onepixel(
             generation, (pop, energy, done), keys
         )
 
-        best = jnp.argmin(energy, axis=1)  # (B,)
-        best_delta = jnp.take_along_axis(
-            pop, best[:, None, None], axis=1
-        ).squeeze(1)  # (B, n_params)
-        adv = jax.vmap(perturb_one)(x, best_delta)
+        adv = jax.vmap(perturb_one)(x, scale(pop[:, 0]))
         return adv
 
     return attack
