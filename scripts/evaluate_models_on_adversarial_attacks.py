@@ -20,6 +20,10 @@ from scripts._common import (add_dataset_path_args, build_dataset,
 def main(args):
     logger = setup_logging()
     enable_compilation_cache()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     Path("logs").mkdir(exist_ok=True)
     fh = logging.FileHandler(f"logs/{datetime.now()}.log")
     fh.setFormatter(
@@ -123,6 +127,8 @@ def parse_args():
         "--raw_from_dataset", help="Return raw sample from the dataset",
         default=False, action="store_true",
     )
+    parser.add_argument("--cpu", "-c", help="Force using cpu",
+                        action="store_true")
     return parser.parse_args()
 
 

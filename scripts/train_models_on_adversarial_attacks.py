@@ -21,6 +21,10 @@ from scripts._common import (add_dataset_path_args, build_dataset,
 def main(args):
     logger = setup_logging()
     enable_compilation_cache()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import yaml
 
