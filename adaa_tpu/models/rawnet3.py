@@ -244,6 +244,16 @@ class Bottle2neck(nn.Module):
         # ops/sinc_conv.py's closed-form VJP (always on). The default
         # is therefore the unrolled path; ADAA_RAWNET_SCAN=1 selects
         # the scan variant (same param tree, bit-comparable logits).
+        # Fused Pallas eval path (ops/pallas_b2n.py): the whole block
+        # body runs in VMEM per (sample, time-tile) grid step — the XLA
+        # path round-trips every (B, T, 1024) intermediate through HBM.
+        # Same param tree (twin modules), bf16 attack/eval trunk only.
+        if (
+            self.compute_dtype == jnp.bfloat16
+            and not train
+            and os.environ.get("ADAA_FUSED_B2N") == "1"
+        ):
+            return self._fused_pallas(x, width, nums)
         fast = (
             self.compute_dtype == jnp.bfloat16
             and not train
@@ -295,6 +305,58 @@ class Bottle2neck(nn.Module):
         out = out + residual
         if self.pool:
             out = layers.max_pool_1d(out, self.pool)
+        return AFMS(self.planes, name="afms")(out)
+
+    def _fused_pallas(self, x: jax.Array, width: int, nums: int) -> jax.Array:
+        """Fold BNs + pack weights for the fused VMEM-resident block
+        (ops/pallas_b2n.py). Twin modules keep the flax param tree."""
+        from adaa_tpu.ops.pallas_b2n import B2NParams, fused_bottle2neck
+
+        bf = jnp.bfloat16
+
+        def bn_affine(name, feat):
+            sc, bi, mu, va = _BNParams(feat, name=name)()
+            s = sc / jnp.sqrt(va + 1e-5)
+            return s, bi - mu * s
+
+        k1, b1 = _Conv1dParams(
+            width * self.scale, 1, self.inplanes, name="conv1")()
+        s1, t1 = bn_affine("bn1", width * self.scale)
+        row = lambda v: v.astype(jnp.float32).reshape(1, -1)
+
+        kc, bc, sc_, tc = [], [], [], []
+        for i in range(nums):
+            k, b = _Conv1dParams(
+                width, self.kernel_size, width, name=f"convs_{i}")()
+            s, t = bn_affine(f"bns_{i}", width)
+            # rows [(i*3 + s) * width, +width) = tap s of conv i
+            kc.extend(k[s] for s in range(self.kernel_size))
+            bc.append(b)
+            sc_.append(s)
+            tc.append(t)
+        k3, b3 = _Conv1dParams(
+            self.planes, 1, width * self.scale, name="conv3")()
+        s3, t3 = bn_affine("bn3", self.planes)
+
+        wr = None
+        if self.inplanes != self.planes:
+            krw, _ = _Conv1dParams(
+                self.planes, 1, self.inplanes, use_bias=False,
+                name="residual")()
+            wr = krw[0].astype(bf)
+
+        params = B2NParams(
+            w1=k1[0].astype(bf), b1=row(b1), s1=row(s1), t1=row(t1),
+            wc=jnp.concatenate(kc, axis=0).astype(bf),
+            bc=row(jnp.concatenate(bc)), sc=row(jnp.concatenate(sc_)),
+            tc=row(jnp.concatenate(tc)),
+            w3=k3[0].astype(bf), b3=row(b3), s3=row(s3), t3=row(t3),
+            wr=wr,
+        )
+        out = fused_bottle2neck(
+            x.astype(bf), params, self.dilation, self.pool,
+            jax.default_backend() == "cpu",  # interpret off-TPU
+        )
         return AFMS(self.planes, name="afms")(out)
 
     def _fast_eval(self, x: jax.Array, width: int, nums: int) -> jax.Array:
