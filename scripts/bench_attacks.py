@@ -79,6 +79,9 @@ def main():
                         "non-lcnn results get a '<model>:' key prefix")
     parser.add_argument("--no-merge", action="store_true",
                         help="overwrite BENCH_ATTACKS.json instead of merging")
+    parser.add_argument("--key-suffix", default="",
+                        help="append to the result row key (A/B runs of "
+                        "env-gated fast paths, e.g. '+b2n')")
     args = parser.parse_args()
 
     import jax
@@ -140,7 +143,7 @@ def main():
 
         ms = dt / args.iters * 1e3
         row_key = prefix + name + (
-            f"@b{args.batch}" if args.batch != 64 else "")
+            f"@b{args.batch}" if args.batch != 64 else "") + args.key_suffix
         results[row_key] = {
             f"ms_per_batch{args.batch}": round(ms, 1),
             "examples_per_sec": round(args.batch * args.iters / dt, 1),

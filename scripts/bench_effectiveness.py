@@ -159,6 +159,10 @@ def main():
                     "bf16_trunk_bf16_encoder": dict(
                         env={"ADAA_BF16_FRONTEND": "1"},
                         extra_cfg={"compute_dtype": "bfloat16"}),
+                    # fused VMEM-resident Bottle2neck (ops/pallas_b2n.py)
+                    "bf16_fused_b2n": dict(
+                        env={"ADAA_FUSED_B2N": "1"},
+                        extra_cfg={"compute_dtype": "bfloat16"}),
                 },
                 batch=64,
             ).items()
