@@ -10,6 +10,14 @@ batch 64). This kernel runs the whole block body per (sample,
 time-tile) grid step inside VMEM and writes only the block output and
 one epilogue-mask plane.
 
+Measured outcome (v5e, r4, BENCH_ATTACKS.json): a NEGATIVE result —
+rawnet3:PGD+b2n 64.8 ex/s vs 82.8 for the default XLA path, with
+identical attack effectiveness (BENCH_EFFECTIVENESS.json
+rawnet3:bf16_fused_b2n, logit shift within 1% of f32). The halo
+re-materialisation per time-tile plus the recompute-in-backward costs
+more than the HBM round-trips it saves, so the kernel stays opt-in
+(ADAA_FUSED_B2N=1), kept as real, tested evidence of the experiment.
+
 Reference behavior (Bottle2neck lineage): src/models/rawnet3.py:185-274
 (conv1x1 -> BN/relu -> res2net dilated conv chain -> concat -> conv1x1
 -> BN/relu -> +residual -> maxpool -> AFMS). Eval mode only (BNs are
@@ -226,8 +234,12 @@ def _bwd_kernel(
     sps = _chain_fwd(h, wc_ref, bc_ref, sc_ref, tc_ref, inb, d)
 
     dy = dyw[...].astype(jnp.float32)
+    # relu(z3) == 0  <=>  o rounds to t3. Equality is on the bf16
+    # grid, but the compare itself runs in f32: mosaic's TPU lowering
+    # has no bf16 cmpf ("Target does not support this comparison"),
+    # and bf16 -> f32 is exact so the mask is unchanged.
     t3b = t3_ref[...].astype(jnp.bfloat16)
-    mask3 = ow[...] != t3b  # relu(z3) == 0  <=>  o rounds to t3
+    mask3 = ow[...].astype(jnp.float32) != t3b.astype(jnp.float32)
     dq = jnp.where(mask3, dy * s3_ref[...], 0.0).astype(jnp.bfloat16)
     dcat = jnp.dot(dq, w3t_ref[...], preferred_element_type=jnp.float32)
 

@@ -19,7 +19,10 @@ import json
 import time
 from pathlib import Path
 
-BATCH = 256  # throughput-optimal on v5e (reference eval uses 64; scaling is linear)
+BATCH = 256  # throughput-optimal on v5e (reference eval uses 64).
+# Measured r4: batch 512 is WORSE (996.6 ex/s vs 1122 at 256) — the
+# PGD-10 program's working set falls out of VMEM-friendly tiling and
+# the mid-trunk convs stay layout-bound, so occupancy doesn't improve.
 WAVE_LEN = 64_600
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 

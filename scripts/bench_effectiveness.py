@@ -94,7 +94,17 @@ def run_family(model_name, base_cfg, surrogates, batch=BATCH):
         print(f"{name}: {res}", flush=True)
         return res
 
-    return {name: run_surrogate(name, **kw) for name, kw in surrogates.items()}
+    out = {}
+    for name, kw in surrogates.items():
+        # one broken opt-in variant must not lose the family's rows
+        try:
+            out[name] = run_surrogate(name, **kw)
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            from scripts.bench_attacks import provenance
+            msg = str(exc).splitlines()[0][:200]
+            print(f"{name}: FAILED {msg}", flush=True)
+            out[name] = {"error": msg, "measured_at": provenance()}
+    return out
 
 
 def main():
