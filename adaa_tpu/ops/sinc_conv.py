@@ -25,24 +25,52 @@ ops/pallas_layer0.fused_conv0_mfm_pool).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=8)
-def _sinc_conv_fn(stride: int, need_dw: bool, compute: str = "f32"):
+def _sinc_conv_fn(stride: int, need_dw: bool, compute: str = "f32",
+                  form: str = "conv"):
     """(B, L) x (F, K) -> (B, T, F) strided conv, custom VJP.
 
     ``compute="bf16"``: conv/dx-einsum inputs in bfloat16 with f32
     accumulation — the attack-surrogate fast path (f32 MXU matmuls
     cost ~6x bf16 on v5e). dW (training) always accumulates from f32
     operands.
+
+    ``form="chunked"`` reformulates the forward on stride-sized
+    chunks (same trick as ops/stft.py): x -> (B, R, stride) and the
+    stride-``s`` k=251 conv becomes a stride-1 width-``ceil(K/s)``
+    conv whose kernel is the (zero-tail-padded) filterbank resliced
+    into stride-rows — numerically identical, but avoids the strided
+    big-kernel layout XLA:TPU handles poorly. Because the filters are
+    learnable the chunked kernel is rebuilt from ``filters`` each
+    call (a zero-FLOP pad+transpose+reshape).
     """
     in_dtype = jnp.bfloat16 if compute == "bf16" else jnp.float32
 
     @jax.custom_vjp
     def sinc_conv(x, filters):
+        if form == "chunked":
+            b, l = x.shape
+            k = filters.shape[1]
+            s = stride
+            c = -(-k // s)
+            t = (l - k) // s + 1
+            r = -(-l // s)
+            kf = (jnp.pad(filters, ((0, 0), (0, c * s - k)))
+                  .T.reshape(c, s, -1).astype(in_dtype))  # (C, s, F) HIO
+            ch = jnp.pad(x, ((0, 0), (0, r * s - l)))
+            ch = ch.reshape(b, r, s).astype(in_dtype)
+            out = jax.lax.conv_general_dilated(
+                ch, kf, window_strides=(1,), padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+            )  # (B, R - C + 1, F)
+            return out[:, :t]
         out = jax.lax.conv_general_dilated(
             x[:, None, :].astype(in_dtype),
             filters[:, None, :].astype(in_dtype),  # (F, 1, K) OIH
@@ -126,4 +154,11 @@ def sinc_conv(x: jax.Array, filters: jax.Array, stride: int,
     """
     if compute == "bf16" and jax.default_backend() == "cpu":
         compute = "f32"
-    return _sinc_conv_fn(stride, bool(need_dw), compute)(x, filters)
+    # Chunked forward rides the bf16 fast path (measured A/B:
+    # scripts/profiling/profile_sinc_r4.py); ADAA_SINC_CHUNKED=0
+    # restores the strided form. The f32 parity path is unchanged.
+    form = "chunked" if (
+        compute == "bf16"
+        and os.environ.get("ADAA_SINC_CHUNKED", "1") != "0"
+    ) else "conv"
+    return _sinc_conv_fn(stride, bool(need_dw), compute, form)(x, filters)

@@ -20,6 +20,7 @@ d(frontend)/d(wave)). For a 64600-sample wave this is a
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -77,7 +78,8 @@ def frame_count(length: int, n_fft: int, hop_length: int, center: bool = True) -
 
 @functools.lru_cache(maxsize=16)
 def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
-                     window: str, compute: str = "f32"):
+                     window: str, compute: str = "f32",
+                     form: str = "conv"):
     """Strided windowed-DFT (B, Lp) -> (B, 2F, T) with a custom VJP.
 
     Forward is one strided conv (good MXU code on TPU). The *automatic*
@@ -90,6 +92,19 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
     i.e. one (B,2F,T)x(2F,n_fft) matmul followed by an overlap-add of
     hop-sized chunks implemented as ceil(n_fft/hop) shifted adds —
     all cheap, static-shaped ops.
+
+    ``form="chunked"`` (bf16 fast-path default) reformulates both
+    directions on hop-sized chunks: the wave is reshaped to
+    (B, R, hop) and the stride-``hop`` big-kernel conv becomes a
+    stride-1 width-``ceil(n_fft/hop)`` conv whose kernel is the DFT
+    matrix resliced into hop-rows — numerically the same windowed DFT
+    (the kernel tail past n_fft is zero), but XLA:TPU lays it out
+    straight onto the MXU instead of relaying the strided big-kernel
+    form. The backward is the mirror full-correlation width-``C``
+    conv of the frame cotangents with the transposed kernel — the
+    overlap-add falls out of the conv itself, no shifted adds.
+    Measured A/B at batch 256 (scripts/profiling/profile_stft_r4.py):
+    DFT+mag2 fwd+bwd 2.74 ms chunked-bf16 vs 5.00 ms strided-bf16.
     """
     kern_np = _dft_kernel(n_fft, win_length, window)  # (2F, 1, n_fft)
     kern2d_np = kern_np[:, 0, :]  # (2F, n_fft)
@@ -103,6 +118,56 @@ def _windowed_dft_fn(n_fft: int, hop_length: int, win_length: int,
     bf16 = compute == "bf16"
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
     prec = None if bf16 else jax.lax.Precision.HIGHEST
+
+    if form == "chunked":
+        s = hop_length
+        c = -(-n_fft // s)  # kernel width in hop-chunks
+        flat = np.zeros((c * s, kern2d_np.shape[0]), np.float32)
+        flat[:n_fft] = kern2d_np.T  # (C*hop, 2F), zero tail
+        kf_np = flat.reshape(c, s, -1)  # (C, hop, 2F) HIO
+        # backward kernel: flipped taps, (C, 2F, hop) HIO
+        kb_np = np.ascontiguousarray(kf_np[::-1].transpose(0, 2, 1))
+
+        @jax.custom_vjp
+        def windowed_dft(xp):
+            b, lp = xp.shape
+            t = frame_count(lp, n_fft, hop_length, center=False)
+            r = -(-lp // s)
+            ch = jnp.pad(xp, ((0, 0), (0, r * s - lp)))
+            ch = ch.reshape(b, r, s).astype(in_dtype)
+            out = jax.lax.conv_general_dilated(
+                ch, jnp.asarray(kf_np).astype(in_dtype),
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NCH"),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (B, 2F, R - C + 1)
+            out = out[:, :, :t]
+            return out.astype(in_dtype) if bf16 else out
+
+        def fwd(xp):
+            return windowed_dft(xp), (xp.shape[0], xp.shape[1])
+
+        def bwd(res, g):
+            b, lp = res
+            t = g.shape[-1]
+            gt = jnp.transpose(g, (0, 2, 1)).astype(in_dtype)  # (B,T,2F)
+            dch = jax.lax.conv_general_dilated(
+                gt, jnp.asarray(kb_np).astype(in_dtype),
+                window_strides=(1,), padding=((c - 1, c - 1),),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (B, T + C - 1, hop)
+            dxp = dch.reshape(b, -1)
+            if dxp.shape[1] >= lp:
+                dxp = dxp[:, :lp]
+            else:
+                dxp = jnp.pad(dxp, ((0, 0), (0, lp - dxp.shape[1])))
+            return (dxp,)
+
+        windowed_dft.defvjp(fwd, bwd)
+        return windowed_dft
 
     @jax.custom_vjp
     def windowed_dft(xp):
@@ -183,8 +248,14 @@ def stft(
 
     if compute == "bf16" and jax.default_backend() == "cpu":
         compute = "f32"  # no bf16 dot kernel on CPU; checked per call
+    # The chunked formulation rides the bf16 fast path only: the f32
+    # path is the parity-exact reference (torch.stft golden tests) and
+    # is kept in the strided-conv form it was validated in.
+    form = "chunked" if (
+        compute == "bf16" and os.environ.get("ADAA_STFT_CHUNKED", "1") != "0"
+    ) else "conv"
     out = _windowed_dft_fn(
-        n_fft, hop_length, win_length, window, compute
+        n_fft, hop_length, win_length, window, compute, form
     )(x2)
 
     n_bins = n_fft // 2 + 1

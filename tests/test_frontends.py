@@ -94,6 +94,43 @@ class TestSTFT:
             np.asarray(g_ours), np.asarray(g_naive), atol=1e-4
         )
 
+    @pytest.mark.parametrize(
+        "n_fft,hop,win,length",
+        [
+            (512, 160, 400, 64_600),  # production LFCC/MFCC geometry
+            (64, 16, 48, 500),        # hop | n_fft
+            (60, 16, 48, 500),        # hop does not divide n_fft
+            (64, 16, 48, 503),        # wave length not hop-aligned
+        ],
+    )
+    def test_chunked_form_matches_conv_form(self, rng, n_fft, hop, win,
+                                            length):
+        """The chunked reformulation (bf16 fast-path default on TPU)
+        must equal the validated strided-conv form — exercised here in
+        f32 on CPU, where both forms share kernels and accumulate f32.
+        """
+        x = jnp.asarray(_rand_wave(rng, batch=2, length=length))
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+
+        conv_fn = stft_ops._windowed_dft_fn(n_fft, hop, win, "hann",
+                                            "f32", "conv")
+        chunk_fn = stft_ops._windowed_dft_fn(n_fft, hop, win, "hann",
+                                             "f32", "chunked")
+        ref = conv_fn(xp)
+        got = chunk_fn(xp)
+        assert got.shape == ref.shape
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5 * scale)
+
+        ct = jax.random.normal(jax.random.PRNGKey(0), ref.shape)
+        g_ref = jax.grad(lambda w: jnp.sum(conv_fn(w) * ct))(xp)
+        g_got = jax.grad(lambda w: jnp.sum(chunk_fn(w) * ct))(xp)
+        gscale = float(jnp.max(jnp.abs(g_ref)))
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=2e-5 * gscale)
+
 
 class TestFilterbanks:
     def test_linear_fbank_properties(self):

@@ -77,3 +77,31 @@ def test_sinc_conv_bf16_dx_close_to_f32(rng):
     # bf16 has ~3 decimal digits; scale tolerance by the grad magnitude
     scale = np.abs(rx).max()
     np.testing.assert_allclose(gx, rx, atol=0.02 * scale, rtol=0.02)
+
+
+def test_sinc_conv_chunked_form_matches_conv_form(rng):
+    """The chunked forward (bf16 fast-path default on TPU) must equal
+    the strided form — exercised in f32 on CPU via the factory, over
+    shapes where K/stride divide unevenly and L is not stride-aligned.
+    """
+    from adaa_tpu.ops.sinc_conv import _sinc_conv_fn
+
+    for l, k, s in ((1000, 251, 10), (997, 251, 10), (512, 64, 16),
+                    (700, 90, 7)):
+        x = jnp.asarray(rng.standard_normal((2, l)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((8, k)) * 0.1).astype(np.float32))
+        ref_fn = _sinc_conv_fn(s, False, "f32", "conv")
+        chk_fn = _sinc_conv_fn(s, False, "f32", "chunked")
+        ref = ref_fn(x, w)
+        got = chk_fn(x, w)
+        assert got.shape == ref.shape
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5 * scale)
+        # shared closed-form bwd still sees the right residuals
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref_fn(x, w))))(x)
+        g_got = jax.grad(lambda x: jnp.sum(jnp.sin(chk_fn(x, w))))(x)
+        gscale = float(jnp.max(jnp.abs(g_ref)))
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=3e-5 * gscale)
