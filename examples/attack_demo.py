@@ -25,6 +25,8 @@ WAVE_LEN = 16_000
 
 
 def main():
+    if "--cpu" in sys.argv:  # JAX_PLATFORMS is ignored in this image
+        jax.config.update("jax_platforms", "cpu")
     module = models.get_model(
         "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}
     )

@@ -53,7 +53,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--attacks", nargs="*", default=DEFAULT_ATTACKS)
+    parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
+    if args.cpu:  # JAX_PLATFORMS is ignored in this image
+        jax.config.update("jax_platforms", "cpu")
 
     module = models.get_model(
         "lcnn", {"input_channels": 1, "frontend_algorithm": ["lfcc"]}

@@ -17,8 +17,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(wave_len: int, train_n: int, epochs: int):
+def main(wave_len: int, train_n: int, epochs: int, cpu: bool = False):
     import jax
+
+    if cpu:  # JAX_PLATFORMS is ignored in this image; set via config
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from adaa_tpu import attacks, models
@@ -95,5 +98,6 @@ if __name__ == "__main__":
     parser.add_argument("--wave-len", type=int, default=16_000)
     parser.add_argument("--train-n", type=int, default=256)
     parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
-    main(args.wave_len, args.train_n, args.epochs)
+    main(args.wave_len, args.train_n, args.epochs, args.cpu)
