@@ -252,7 +252,10 @@ class BiLSTM(nn.Module):
     # the next step's matmul (the recurrence is latency-bound: tiny
     # per-step matmuls), but multiplies the differentiated program size
     # — training-path compiles blow past 20 min at 4 — so callers
-    # enable it only on the eval/attack fast path.
+    # enable it only on the eval/attack fast path. -1 = full unroll
+    # (the whole recurrence becomes one straight-line program; at the
+    # flagship's T=50 this measures ~2x faster fwd+bwd than unroll=4 —
+    # scripts/profiling/profile_tail_r4.json head_u50 vs head_u4).
     unroll: int = 1
 
     @nn.compact
@@ -294,7 +297,8 @@ class BiLSTM(nn.Module):
             jnp.zeros((b, 2, h), x.dtype),
             jnp.zeros((b, 2, h), x.dtype),
         )
-        _, ys = jax.lax.scan(step, init, gates, unroll=self.unroll)
+        unroll = gates.shape[0] if self.unroll == -1 else self.unroll
+        _, ys = jax.lax.scan(step, init, gates, unroll=unroll)
         out = jnp.concatenate(
             [ys[:, :, 0], jnp.flip(ys[:, :, 1], axis=0)], axis=-1
         )

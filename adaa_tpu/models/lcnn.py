@@ -297,9 +297,11 @@ class LCNN(nn.Module):
         dim = (self.num_coefficients // 16) * 32
         if dtype is not None:
             h = h.astype(jnp.float32)  # LSTM recurrence stays f32
-        # unroll only on the bf16 fast path: it buys ~0.5 ms/step on
-        # the attack loop but multiplies f32 training-compile time
-        unroll = 4 if (dtype is not None and not train) else 1
+        # full unroll only on the bf16 fast path: the T=50 recurrence
+        # as straight-line code measures ~2x faster fwd+bwd than
+        # unroll=4 (profile_tail_r4.json) but multiplies f32
+        # training-compile time, so the train/parity paths stay scanned
+        unroll = -1 if (dtype is not None and not train) else 1
         lstm_out = layers.BiLSTM(dim // 2, unroll=unroll, name="blstm0")(h)
         lstm_out = layers.BiLSTM(dim // 2, unroll=unroll, name="blstm1")(lstm_out)
 
