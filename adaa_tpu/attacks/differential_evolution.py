@@ -179,6 +179,14 @@ def differential_evolution(
       stop_fn: optional (best_energy,) -> bool early-stop predicate
         (replaces scipy's callback-based exit; evaluated on the slot-0
         best each generation, freezing further updates once true).
+
+    Disclosed deviation: initialization is always uniform random,
+    i.e. the vendored fork's ``init='random'`` mode. The fork's
+    *default* is ``init='latinhypercube'``, which this module does not
+    implement — the parity claim ("reference-fork-exact semantics")
+    is scoped to ``init='random'``. The only in-repo caller (OnePixel,
+    attacks/onepixel.py) passes ``init='random'`` in the reference
+    too, so observable behavior matches everywhere it is used.
     """
     lo, hi = (jnp.asarray(b, jnp.float32) for b in bounds)
     n_params = lo.shape[0]

@@ -398,6 +398,10 @@ def fused_bottle2neck(x, p: B2NParams, dilation: int, pool: int,
     T must be divisible by ``pool``. Differentiable w.r.t. x only
     (parameter cotangents are NaN-poisoned — attack/eval contract).
     """
+    if pool and x.shape[1] % pool != 0:
+        raise ValueError(
+            f"fused_bottle2neck: T={x.shape[1]} not divisible by "
+            f"pool={pool}")
     y, _ = _fwd_call(x, p, dilation, interpret)
     return _pool(y, pool)
 

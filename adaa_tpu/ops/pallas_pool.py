@@ -147,5 +147,9 @@ def max_pool_1d(x: jax.Array, window: int,
     it = x.dtype.itemsize
     rows_f = _pick_rows(b * l2, _row_bytes(window, c, it, backward=False))
     rows_b = _pick_rows(b * l2, _row_bytes(window, c, it, backward=True))
+    if rows_f <= 0 or rows_b <= 0:
+        raise ValueError(
+            f"max_pool_1d: shape {x.shape} window={window} does not tile "
+            "into VMEM — gate calls on pallas_pool.supported(x, window)")
     out = _pool_fn(window, c, rows_f, rows_b, interpret)(x2)
     return out.reshape(b, l2, c)
