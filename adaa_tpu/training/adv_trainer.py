@@ -112,7 +112,8 @@ class AdversarialGDTrainer(GDTrainer):
                 batch_x = adv_fn(attack_variables, batch_x, batch_y, key)
         return batch_x
 
-    def update_adv_attack(self, batch_loss, batch_pred=None, iter=None, epoch=None):
+    def update_adv_attack(self, batch_loss, batch_pred=None, iter=None,
+                          epoch=None, attack_idx=None):
         ...
 
     # -- main loop ----------------------------------------------------------
@@ -168,6 +169,14 @@ class AdversarialGDTrainer(GDTrainer):
             LOGGER.info("Epoch num: %d", epoch)
             num_total = 0
             acc = replicate(jnp.zeros((2,), jnp.float32))
+            # adaptive strategies: (device_loss, attack_idx, iter) queue —
+            # the loss scalar is pulled one iteration LATE, so the ~25 ms
+            # tunnel sync overlaps with the device executing the next
+            # step instead of stalling the dispatch pipeline (the EMA
+            # update itself is loss-for-loss identical to the reference's
+            # post-step update, trainer.py:544-557; only the sampling of
+            # batch i+1 sees weights through batch i-1 instead of i)
+            pending: List[Tuple[jax.Array, Optional[int], int]] = []
 
             for i, batch in enumerate(train_loader):
                 batch_x = shard(batch[0])
@@ -188,13 +197,23 @@ class AdversarialGDTrainer(GDTrainer):
                         epoch, i, ls / num_total, nc / num_total * 100,
                     )
                 # only the adaptive strategies consume the per-batch loss
-                # (loss-EMA sampling weights, trainer.py:544-557); pulling
-                # it to host every batch stalls the pipeline, so the
-                # no-op base skips the sync
+                # (loss-EMA sampling weights, trainer.py:544-557); the
+                # no-op base skips the sync entirely
                 if self.needs_batch_loss:
-                    self.update_adv_attack(
-                        float(loss), batch_pred=None, iter=i, epoch=epoch
+                    pending.append(
+                        (loss, getattr(self, "last_adv_attack", None), i)
                     )
+                    if len(pending) > 1:
+                        dloss, idx, pi = pending.pop(0)
+                        self.update_adv_attack(
+                            float(dloss), batch_pred=None, iter=pi,
+                            epoch=epoch, attack_idx=idx,
+                        )
+            for dloss, idx, pi in pending:  # flush the lagged tail
+                self.update_adv_attack(
+                    float(dloss), batch_pred=None, iter=pi, epoch=epoch,
+                    attack_idx=idx,
+                )
 
             loss_sum, num_correct = np.asarray(acc)
             running_loss = loss_sum / max(num_total, 1)
@@ -358,14 +377,12 @@ class AdaptiveAdversarialGDTrainer(AdversarialGDTrainer):
 
     def update_adv_attack(
         self, batch_loss, batch_pred=None, max_val=1, proportion_val=0.2,
-        iter=None, epoch=None,
+        iter=None, epoch=None, attack_idx=None,
     ):
+        idx = attack_idx if attack_idx is not None else self.last_adv_attack
         loss = min(batch_loss, max_val)
         w = self.adv_attacks_weights
-        w[self.last_adv_attack] = (
-            proportion_val * loss
-            + (1 - proportion_val) * w[self.last_adv_attack]
-        )
+        w[idx] = proportion_val * loss + (1 - proportion_val) * w[idx]
         total = float(np.sum(w))
         self.adv_attacks_weights = [
             0.5 * (wi / total) + 0.5 * (1.0 / len(w)) for wi in w
@@ -382,14 +399,12 @@ class AdaptiveV2AdversarialGDTrainer(AdaptiveAdversarialGDTrainer):
 
     def update_adv_attack(
         self, batch_loss, batch_pred=None, max_val=1, proportion_val=0.2,
-        iter=None, epoch=None,
+        iter=None, epoch=None, attack_idx=None,
     ):
+        idx = attack_idx if attack_idx is not None else self.last_adv_attack
         loss = min(batch_loss, max_val)
         w = self.adv_attacks_weights
-        w[self.last_adv_attack] = (
-            proportion_val * loss
-            + (1 - proportion_val) * w[self.last_adv_attack]
-        )
+        w[idx] = proportion_val * loss + (1 - proportion_val) * w[idx]
         total = float(np.sum(w))
         w = [0.5 * (wi / total) for wi in w]
 

@@ -62,6 +62,7 @@ def main(args):
         epochs=args.epochs,
         optimizer_kwargs=optimizer_config,
         use_scheduler=use_scheduler,
+        compute_eer=args.compute_eer,
     ).train(
         dataset=data_train,
         module=module,
@@ -110,6 +111,13 @@ def parse_args():
         type=str, default="trained_models",
     )
     parser.add_argument("--cpu", "-c", help="Force using cpu?", action="store_true")
+    parser.add_argument(
+        "--compute_eer",
+        help="Compute real per-epoch validation EER instead of the "
+        "reference's placeholder 0 (src/trainer.py:171 'TODO: revert "
+        "EER support').",
+        action="store_true",
+    )
     return parser.parse_args()
 
 

@@ -245,6 +245,96 @@ def test_fused_bf16_lcnn_shards_over_mesh(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
 
 
+def _run_adv_trainer(strategy, attacks, sharded, monkeypatch, n=48,
+                     batch=16, epochs=1):
+    """Full AdversarialGDTrainer.train() with the sharding path forced
+    on (real 8-device make_sharding) or off (identity fns), identical
+    host RNG/loader order, for 1-vs-8 equality tests (VERDICT r4 item
+    8: the reference's DataParallel trainers must not change results
+    when scattered, train_models_on_adversarial_attacks.py:95-104)."""
+    import functools
+    import random as pyrandom
+
+    import flax.linen as nn
+
+    from adaa_tpu.data.loader import DataLoader
+    from adaa_tpu.training import adv_trainer as at
+    from adaa_tpu.training import gd_trainer as gt
+    from adaa_tpu.training.adv_trainer import ADV_TRAINER_REGISTRY
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(1)(x[:, :64])
+
+    module = Tiny()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 256)))
+
+    class DS:
+        def __init__(self, n):
+            rng = np.random.default_rng(0)
+            self.items = [
+                (rng.standard_normal(256).astype(np.float32) + (i % 2),
+                 16000, i % 2)
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    monkeypatch.setattr(
+        at, "DataLoader", functools.partial(DataLoader, seed=0)
+    )
+    if not sharded:
+        monkeypatch.setattr(
+            gt, "make_sharding",
+            lambda b: ((lambda x: jnp.asarray(x)), (lambda t: t)),
+        )
+
+    pyrandom.seed(1234)
+    trainer = ADV_TRAINER_REGISTRY[strategy](
+        epochs=epochs, batch_size=batch, optimizer_kwargs={"lr": 1e-3}
+    )
+    best = trainer.train(
+        dataset=DS(n), module=module, variables=variables,
+        attack_module=module, attack_variables=None,
+        adversarial_attacks=attacks, test_dataset=DS(n),
+        key=jax.random.PRNGKey(7),
+    )
+    weights = list(getattr(trainer, "adv_attacks_weights", []))
+    return jax.tree_util.tree_map(np.asarray, best), weights
+
+
+def _assert_trees_equal(t1, t8, atol):
+    for a, b in zip(jax.tree_util.tree_leaves(t1),
+                    jax.tree_util.tree_leaves(t8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def test_equal_trainer_sharded_matches_single_device(monkeypatch):
+    """EQUAL's host-indexed half-batch scatter (adv_trainer.py
+    EqualAdversarialGDTrainer.apply_adv_attack) must survive batch
+    sharding: same params after 3 steps on 1 vs 8 devices."""
+    p1, _ = _run_adv_trainer("EQUAL", ["FGSM"], False, monkeypatch)
+    p8, _ = _run_adv_trainer("EQUAL", ["FGSM"], True, monkeypatch)
+    _assert_trees_equal(p1, p8, atol=1e-5)
+
+
+def test_adaptive_trainer_sharded_matches_single_device(monkeypatch):
+    """ADAPTIVE's weight evolution (lagged loss-EMA pulls) and final
+    params must agree between the unsharded and 8-device runs."""
+    p1, w1 = _run_adv_trainer("ADAPTIVE", ["FGSM", "FGSM_eps001"], False,
+                              monkeypatch, epochs=2)
+    p8, w8 = _run_adv_trainer("ADAPTIVE", ["FGSM", "FGSM_eps001"], True,
+                              monkeypatch, epochs=2)
+    assert len(w1) == len(w8) == 3
+    np.testing.assert_allclose(w1, w8, atol=1e-5)
+    _assert_trees_equal(p1, p8, atol=1e-5)
+
+
 def test_initialize_multihost_noop_without_coordinator(monkeypatch):
     from adaa_tpu.parallel.mesh import initialize_multihost
 

@@ -210,6 +210,89 @@ def test_optional_in_training_eer():
     assert 0.0 <= eer <= 1.0
 
 
+def _tiny_module_and_data(n=48, d=256, seed=0):
+    """A Dense probe + list dataset for fast full-train() tests."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(1)(x[:, :64])
+
+    module = Tiny()
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, d)))
+
+    class DS:
+        def __init__(self, n):
+            rng = np.random.default_rng(seed)
+            self.items = [
+                (rng.standard_normal(d).astype(np.float32) + (i % 2),
+                 16000, i % 2)
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    return module, variables, DS(n)
+
+
+def test_adaptive_lagged_pull_pairs_loss_with_attack(monkeypatch):
+    """The pipelined (one-iteration-late) loss pull must deliver exactly
+    one EMA update per batch, in iteration order, each paired with the
+    attack index that was sampled for THAT batch — the semantics knob
+    vs the reference (trainer.py:544-557) is only a one-batch lag in
+    when the host applies the update, never a mispairing or a dropped
+    tail."""
+    import functools
+    import random as pyrandom
+
+    from adaa_tpu.data.loader import DataLoader
+    from adaa_tpu.training import adv_trainer as at
+
+    module, variables, ds = _tiny_module_and_data(n=40)
+    monkeypatch.setattr(
+        at, "DataLoader", functools.partial(DataLoader, seed=0)
+    )
+
+    sampled, updated = [], []
+
+    class Probe(AdaptiveAdversarialGDTrainer):
+        def apply_adv_attack(self, *a, **k):
+            out = super().apply_adv_attack(*a, **k)
+            sampled.append(self.last_adv_attack)
+            return out
+
+        def update_adv_attack(self, batch_loss, attack_idx=None, iter=None,
+                              **kw):
+            updated.append((iter, attack_idx, batch_loss))
+            return super().update_adv_attack(
+                batch_loss, attack_idx=attack_idx, iter=iter, **kw
+            )
+
+    pyrandom.seed(11)
+    t = Probe(epochs=2, batch_size=8, optimizer_kwargs={"lr": 1e-3})
+    t.train(
+        dataset=ds, module=module, variables=variables,
+        attack_module=module, attack_variables=None,
+        adversarial_attacks=["FGSM", "FGSM_eps001"], test_dataset=ds,
+        key=jax.random.PRNGKey(0),
+    )
+    n_batches = 40 // 8
+    assert len(updated) == len(sampled) == 2 * n_batches
+    # per epoch: updates arrive in iteration order and carry the index
+    # sampled for that same iteration
+    for e in range(2):
+        ep = updated[e * n_batches : (e + 1) * n_batches]
+        assert [u[0] for u in ep] == list(range(n_batches))
+        assert [u[1] for u in ep] == sampled[e * n_batches : (e + 1) * n_batches]
+    assert all(np.isfinite(u[2]) for u in updated)
+    assert sum(t.adv_attacks_weights) == pytest.approx(1.0, rel=1e-6)
+
+
 def test_adv_validation_epoch_eer_flag():
     """VERDICT item 8: compute_eer threads into the ADVERSARIAL
     trainer's per-attack validation (reference placeholder:
