@@ -39,6 +39,13 @@ def provenance() -> str:
 WAVE_LEN = 64_600
 OUT = Path(__file__).resolve().parent.parent / "BENCH_ATTACKS.json"
 
+# v5e bf16 peak (same denominator as the RawNet3 roofline,
+# models/rawnet3.py:27). MFU here = XLA-cost-analysis FLOPs of the
+# whole attack program / wall time / this peak — a uniform, automatic
+# method (the compiler counts the FLOPs actually emitted, incl. the
+# backward), reported for every row regardless of attack family.
+PEAK_FLOPS_BF16 = 197e12
+
 DEFAULT_ATTACKS = [
     "FGSM", "PGD", "PGDL2", "BIM", "MIFGSM", "DeepFool", "APGDT",
     "CW", "Square", "FAB",
@@ -57,6 +64,19 @@ def _resolve(name):
     cw_mod = importlib.import_module("adaa_tpu.attacks.cw")
     extra = importlib.import_module("adaa_tpu.attacks.extra")
     square_mod = importlib.import_module("adaa_tpu.attacks.square")
+    onepixel_mod = importlib.import_module("adaa_tpu.attacks.onepixel")
+    composite = importlib.import_module("adaa_tpu.attacks.composite")
+
+    def _multiattack(logits_fn):
+        """Registry-eps PGD + PGDL2 + FGSM in sequence (the reference's
+        multiattack.py first-success-wins semantics)."""
+        from adaa_tpu.attacks.gradient import fgsm, pgd, pgdl2
+
+        return composite.multiattack(logits_fn, [
+            pgd(logits_fn, eps=0.0005, steps=10),
+            pgdl2(logits_fn, eps=0.1, steps=10),
+            fgsm(logits_fn, eps=0.0005),
+        ])
 
     stock = {
         "BIM": (extra.bim, {"steps": 10}),
@@ -65,8 +85,30 @@ def _resolve(name):
         "APGDT": (apgd_mod.apgdt, {"steps": 20}),
         "CW": (cw_mod.cw, {"steps": 50}),
         "Square": (square_mod.square, {"n_queries": 200}),
+        # reference OnePixel defaults (torchattacks/attacks/onepixel.py:
+        # pixels=1, steps=75, popsize=10, inf_batch=128) — the
+        # DE-driven black-box attack whose reference loop is host-bound
+        "OnePixel": (onepixel_mod.onepixel,
+                     {"pixels": 1, "steps": 75, "popsize": 10,
+                      "inf_batch": 128}),
+        "MultiAttack": (_multiattack, {}),
+        # upstream 'standard' suite budgets (autoattack.py): APGD-CE +
+        # APGD-T + FAB at 100 steps, Square at 5000 queries
+        "AutoAttack": (composite.autoattack, {"eps": 0.001}),
     }
     return stock[name]
+
+
+def _flops_per_example(jitted, batch, *example_args):
+    """XLA-cost-analysis FLOPs of the compiled program per example."""
+    try:
+        cost = jitted.lower(*example_args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0) or 0.0)
+        return flops / batch if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -142,14 +184,27 @@ def main():
         dt = time.perf_counter() - t0
 
         ms = dt / args.iters * 1e3
+        ex_s = args.batch * args.iters / dt
+        fpe = _flops_per_example(attack_batch, args.batch, x, y, keys[0])
         row_key = prefix + name + (
             f"@b{args.batch}" if args.batch != 64 else "") + args.key_suffix
         results[row_key] = {
             f"ms_per_batch{args.batch}": round(ms, 1),
-            "examples_per_sec": round(args.batch * args.iters / dt, 1),
+            "examples_per_sec": round(ex_s, 1),
             "compile_s": round(compile_s, 1),
             "measured_at": provenance(),
         }
+        if fpe is not None:
+            results[row_key]["flops_per_example"] = round(fpe)
+            results[row_key]["mfu_pct"] = round(
+                fpe * ex_s / PEAK_FLOPS_BF16 * 100, 1)
+        if name == "OnePixel" and args.model == "lcnn":
+            base = OUT.parent / "BENCH_BASELINE.json"
+            if base.exists():
+                ref = json.loads(base.read_text()).get(
+                    "onepixel_torch_cpu_examples_per_sec")
+                if ref:  # scripts/bench_onepixel_baseline.py
+                    results[row_key]["vs_torch_cpu"] = round(ex_s / ref, 1)
         print(f"{row_key}: {results[row_key]}")
 
     OUT.write_text(json.dumps(results, indent=1))
