@@ -28,7 +28,7 @@ run2() {  # run2 <name> <cmd...>: two-pass, keep pass-2 output
   timeout "$BOUND" "$@" 2>&1 | tee -a "$LOG"
 }
 
-for stage in "${@:-flagship profile layers18 rawnet attacks attacks_models fab fab256 effectiveness flagship512}"; do
+for stage in "${@:-flagship profile layers18 rawnet attacks attacks_models fab fab256 blackbox rawnet256 floor pool_r5 strategies train effectiveness flagship512}"; do
 for s in $stage; do
 case $s in
   flagship)      run2 bench.py python bench.py ;;
@@ -46,6 +46,13 @@ case $s in
                  run2 bench_attacks_specrnet python scripts/bench_attacks.py --model specrnet --attacks PGD FGSM
                  run2 bench_attacks_rawnet3 python scripts/bench_attacks.py --model rawnet3 --attacks PGD FGSM ;;
   fab256)        run2 fab_b256 python scripts/bench_attacks.py --attacks FAB --batch 256 ;;
+  blackbox)      run2 bench_blackbox python scripts/bench_attacks.py --attacks OnePixel MultiAttack AutoAttack
+                 run2 square_b256 python scripts/bench_attacks.py --attacks Square --batch 256 ;;
+  rawnet256)     run2 rawnet_pgd_b256 python scripts/bench_attacks.py --model rawnet3 --attacks PGD --batch 256 ;;
+  floor)         run2 profile_floor python scripts/profiling/profile_floor_r5.py ;;
+  pool_r5)       run2 profile_pool_r5 python scripts/profiling/profile_pool_r5.py ;;
+  strategies)    run2 profile_strategies python scripts/profiling/profile_strategies_r5.py ;;
+  fgsm_bisect)   run2 fgsm_bisect python scripts/profiling/fgsm_compile_bisect.py ;;
   effectiveness) run2 effectiveness python scripts/bench_effectiveness.py ;;
   *) echo "unknown stage $s"; exit 1 ;;
 esac
