@@ -197,7 +197,7 @@ def main():
         if fpe is not None:
             results[row_key]["flops_per_example"] = round(fpe)
             results[row_key]["mfu_pct"] = round(
-                fpe * ex_s / PEAK_FLOPS_BF16 * 100, 1)
+                fpe * ex_s / PEAK_FLOPS_BF16 * 100, 2)
         if name == "OnePixel" and args.model == "lcnn":
             base = OUT.parent / "BENCH_BASELINE.json"
             if base.exists():
