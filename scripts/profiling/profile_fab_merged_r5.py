@@ -53,7 +53,7 @@ from adaa_tpu.attacks.fab_projections import projection_linf_bisect_pair
 BATCH = 256
 WAVE = 64_600
 STEPS = 100
-ETA = 1.05
+ETA = 10.0  # registry "FAB" eta (attacks/__init__.py) — must match base
 ALPHA_MAX = 0.1
 BETA = 0.9
 EPS = 0.3  # _DEFAULT_EPS["Linf"] in attacks/fab.py

@@ -135,8 +135,14 @@ def main():
             fwdbwd = jax.grad(
                 lambda a, pool=pool: pool(a).astype(jnp.float32).sum())
             key = f"b{batch}_{tag}"
-            results[f"{key}_fwd_ms"] = round(scan_time(pool, x), 3)
-            results[f"{key}_fwdbwd_ms"] = round(scan_time(fwdbwd, x), 3)
+            try:  # b256 holds several 3.4 GB tensors; OOM is a result,
+                  # not a crash — keep the b64 rows either way
+                results[f"{key}_fwd_ms"] = round(scan_time(pool, x), 3)
+                results[f"{key}_fwdbwd_ms"] = round(scan_time(fwdbwd, x), 3)
+            except Exception as e:  # noqa: BLE001
+                results[f"{key}_error"] = str(e).split("\n")[0][:200]
+                print(f"{key}: FAILED {results[f'{key}_error']}", flush=True)
+                continue
             print(f"{key}: fwd {results[f'{key}_fwd_ms']} "
                   f"fwdbwd {results[f'{key}_fwdbwd_ms']}", flush=True)
 

@@ -61,8 +61,6 @@ def main():
     cfg = {"input_channels": 1, "frontend_algorithm": ["lfcc"],
            "compute_dtype": "bfloat16"}
     module = models.get_model("lcnn", cfg)
-    variables = models.init_model(module, jax.random.PRNGKey(0),
-                                  wave_length=WAVE_LEN)
 
     n_train = BATCH * N_TRAIN_BATCHES
     src = SyntheticDataset(n=n_train, subset="train", wave_length=WAVE_LEN)
@@ -78,10 +76,16 @@ def main():
         trainer = ADV_TRAINER_REGISTRY[strategy](
             epochs=1, batch_size=BATCH, optimizer_kwargs={"lr": 1e-4}
         )
+        # fresh init per strategy: train_step donates the state, so a
+        # shared `variables` tree is deleted after the first run (the
+        # first sweep hit exactly that RuntimeError); same key ->
+        # bit-identical params, so the comparison is unchanged
+        variables = models.init_model(module, jax.random.PRNGKey(0),
+                                      wave_length=WAVE_LEN)
         t0 = time.perf_counter()
         trainer.train(
             dataset=train_ds, module=module,
-            variables=jax.tree_util.tree_map(lambda a: a, variables),
+            variables=variables,
             attack_module=module, attack_variables=None,  # self-attack
             adversarial_attacks=["FGSM"], test_dataset=test_ds,
             key=jax.random.PRNGKey(3),
