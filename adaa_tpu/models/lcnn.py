@@ -246,7 +246,66 @@ class LCNN(nn.Module):
                 h.shape[1:] == (202, 40, 32)
                 and os.environ.get("ADAA_FUSED_TRUNK") == "1"
             )
-            if fuse_trunk:
+            # Space-to-depth trunk (ops/s2d.py): folds the coefficient
+            # axis into channels so the C=32-64 convs present full
+            # (8,128) tiles — the floor table (profile_floor_r5.json)
+            # measured this chain at 4.3x its roofline with the padding
+            # waste as prime suspect. Values identical by construction
+            # (tests/test_s2d.py); fold factor from ADAA_S2D_TRUNK:
+            # "f4" (fold 4, blocks cascade f4->f2->refold f2),
+            # "f2" (fold 2 per block), "f4lite" (block C unfolded),
+            # "0" off. Default set from profile_s2d_r5.json.
+            s2d_mode = os.environ.get("ADAA_S2D_TRUNK", "f4")
+            if s2d_mode not in ("f2", "f4", "f4lite"):
+                s2d_mode = "0"
+            s2d_trunk = (
+                not fuse_trunk
+                and h.shape[1:] == (202, 40, 32)
+                and s2d_mode != "0"
+            )
+            if s2d_trunk:
+                from adaa_tpu.ops import s2d
+
+                fa, fb, fc = {  # per-block fold factors
+                    "f2": (2, 2, 2),
+                    "f4": (4, 2, 2),      # A's pool exits at B's fold
+                    "f4lite": (4, 2, 1),  # block C stays unfolded
+                }[s2d_mode]
+
+                def sconv(h, feat, k, in_feat, name, bn_name, f,
+                          pooled=False):
+                    kernel, bias = fold_params(feat, k, in_feat, name,
+                                               bn_name)
+                    y = s2d.conv_folded(h, kernel, bias, f, dtype=dtype)
+                    return (s2d.mfm_pool_folded(y, f) if pooled
+                            else mfm(y))
+
+                def refold(h, cur, want):
+                    return (h if cur == want
+                            else s2d.fold_w(s2d.unfold_w(h, cur), want))
+
+                h = s2d.fold_w(h, fa)
+                h = sconv(h, 64, 1, 32, "conv3", "bn5", fa)
+                h = sconv(h, 96, 3, 32, "conv6", "bn9", fa, pooled=True)
+                h = refold(h, fa // 2, fb)  # pools halve the fold
+                h = sconv(h, 96, 1, 48, "conv10", "bn12", fb)
+                h = sconv(h, 128, 3, 48, "conv13", None, fb, pooled=True)
+                h = refold(h, fb // 2, fc)
+                if fc > 1:
+                    h = sconv(h, 128, 1, 64, "conv16", "bn18", fc)
+                    h = sconv(h, 64, 3, 64, "conv19", "bn21", fc)
+                    h = sconv(h, 64, 1, 32, "conv22", "bn24", fc)
+                    h = s2d.unfold_w(
+                        sconv(h, 64, 3, 32, "conv25", None, fc,
+                              pooled=True),
+                        fc // 2,
+                    )
+                else:
+                    h = fconv(h, 128, 1, 64, "conv16", "bn18")
+                    h = fconv(h, 64, 3, 64, "conv19", "bn21")
+                    h = fconv(h, 64, 1, 32, "conv22", "bn24")
+                    h = fconv(h, 64, 3, 32, "conv25", None, pooled=True)
+            elif fuse_trunk:
                 from adaa_tpu.ops.pallas_trunk import (
                     SEGMENT_A, SEGMENT_B, fused_segment,
                 )
@@ -265,10 +324,11 @@ class LCNN(nn.Module):
                 h = fconv(h, 96, 3, 32, "conv6", "bn9", pooled=True)
                 h = fconv(h, 96, 1, 48, "conv10", "bn12")
                 h = fconv(h, 128, 3, 48, "conv13", None, pooled=True)
-            h = fconv(h, 128, 1, 64, "conv16", "bn18")
-            h = fconv(h, 64, 3, 64, "conv19", "bn21")
-            h = fconv(h, 64, 1, 32, "conv22", "bn24")
-            h = fconv(h, 64, 3, 32, "conv25", None, pooled=True)
+            if not s2d_trunk:  # the s2d branch ran its own conv16..25
+                h = fconv(h, 128, 1, 64, "conv16", "bn18")
+                h = fconv(h, 64, 3, 64, "conv19", "bn21")
+                h = fconv(h, 64, 1, 32, "conv22", "bn24")
+                h = fconv(h, 64, 3, 32, "conv25", None, pooled=True)
         else:
             h = mfm(conv(64, 1, "conv3")(h))
             h = bn("bn5")(h, use_running_average=not train)

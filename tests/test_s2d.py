@@ -133,6 +133,47 @@ def test_trunk_cascade_f4():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["f2", "f4", "f4lite"])
+def test_lcnn_s2d_trunk_matches_default(mode, monkeypatch):
+    """bf16 LCNN logits: s2d-folded trunk == unfolded folded-BN path.
+
+    Full 64600-sample wave (the s2d gate keys on the canonical
+    (202, 40, 32) post-layer0 shape); randomized running stats make
+    the composed BN-fold x kernel-fold non-trivial. Fused layer0 is
+    disabled on both sides so the diff isolates the mid-trunk.
+    """
+    from adaa_tpu import models
+
+    rng = np.random.default_rng(7)
+    module = models.get_model(
+        "lcnn",
+        {"input_channels": 1, "frontend_algorithm": ["lfcc"],
+         "compute_dtype": "bfloat16"},
+    )
+    variables = models.init_model(
+        module, jax.random.PRNGKey(0), wave_length=64_600
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.abs(rng.standard_normal(a.shape)).astype(np.float32) + 0.5
+        ),
+        variables["batch_stats"],
+    )
+    variables = {**variables, "batch_stats": stats}
+    x = jnp.asarray(
+        (rng.standard_normal((1, 64_600)) * 0.05).astype(np.float32)
+    )
+
+    monkeypatch.setenv("ADAA_FUSED_LCNN", "0")
+    monkeypatch.setenv("ADAA_S2D_TRUNK", "0")
+    ref = np.asarray(module.apply(variables, x, train=False))
+    monkeypatch.setenv("ADAA_S2D_TRUNK", mode)
+    got = np.asarray(module.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+    assert not np.allclose(got, 0.0)
+
+
 def test_conv_folded_gradients_match():
     # the attack path differentiates w.r.t. x through the folded chain
     rng = np.random.default_rng(6)
