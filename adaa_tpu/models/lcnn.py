@@ -255,7 +255,7 @@ class LCNN(nn.Module):
             # "f4" (fold 4, blocks cascade f4->f2->refold f2),
             # "f2" (fold 2 per block), "f4lite" (block C unfolded),
             # "0" off. Default set from profile_s2d_r5.json.
-            s2d_mode = os.environ.get("ADAA_S2D_TRUNK", "f4")
+            s2d_mode = os.environ.get("ADAA_S2D_TRUNK", "0")
             if s2d_mode not in ("f2", "f4", "f4lite"):
                 s2d_mode = "0"
             s2d_trunk = (
