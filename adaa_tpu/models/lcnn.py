@@ -248,13 +248,15 @@ class LCNN(nn.Module):
             )
             # Space-to-depth trunk (ops/s2d.py): folds the coefficient
             # axis into channels so the C=32-64 convs present full
-            # (8,128) tiles — the floor table (profile_floor_r5.json)
-            # measured this chain at 4.3x its roofline with the padding
-            # waste as prime suspect. Values identical by construction
-            # (tests/test_s2d.py); fold factor from ADAA_S2D_TRUNK:
-            # "f4" (fold 4, blocks cascade f4->f2->refold f2),
-            # "f2" (fold 2 per block), "f4lite" (block C unfolded),
-            # "0" off. Default set from profile_s2d_r5.json.
+            # (8,128) tiles. MEASURED NEGATIVE (profile_s2d_r5.json,
+            # round 5): f2/f4/f4lite run 2.0-2.3x SLOWER than the
+            # unfolded chain (28.7-32.8 vs 14.3 ms fwd+bwd @ b256) —
+            # XLA's layout assignment already reorders minor dims onto
+            # the (8,128) tiles, so folding only buys the 2-4x MAC
+            # inflation plus the fold transposes. Kept opt-in ("f2"/
+            # "f4"/"f4lite" via ADAA_S2D_TRUNK, default off) as a
+            # tested negative result; values identical by construction
+            # (tests/test_s2d.py).
             s2d_mode = os.environ.get("ADAA_S2D_TRUNK", "0")
             if s2d_mode not in ("f2", "f4", "f4lite"):
                 s2d_mode = "0"

@@ -34,9 +34,18 @@ it makes the surrounding LCNN ops fold for free:
 
 Cost model: a folded conv runs (k_f * f / k)x the MACs (2x at f=2,
 4x at f=4 for the 3x3s; fx for the 1x1s) in exchange for f-times
-fuller MXU K/N faces — a win wherever measured MFU is below ~1/f of
-the folded form's. profile_s2d_r5.py measures; the trunk integration
-is gated on those numbers.
+fuller MXU K/N faces — a win wherever the padding/tiling waste it
+removes exceeds ~1/f.
+
+MEASURED VERDICT (round 5, profile_s2d_r5.json, v5e batch 256): a
+NEGATIVE result. All three variants run 2.0-2.3x slower than the
+unfolded chain (f2 28.7 / f4 32.8 / f4lite 31.7 vs base 14.3 ms
+fwd+bwd) — XLA's layout assignment already reorders minor dims onto
+the (8,128) tiles for these convs (visible in its HLO layouts, e.g.
+bf16[256,6435,1024]{2,0,1:T(8,128)(2,1)}), so there was no padding
+waste to reclaim and the fold pays full MAC inflation. Kept as an
+opt-in (ADAA_S2D_TRUNK in models/lcnn.py) tested negative result that
+bounds this direction for future rounds.
 
 No reference counterpart: the torch code (src/models/lcnn.py:102-243)
 runs cuDNN NCHW convs; this transform exists purely for the TPU's
