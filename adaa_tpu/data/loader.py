@@ -34,6 +34,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
+        if seed is None and shuffle:
+            # torch's DataLoader draws its shuffle order from the
+            # set_seed-seeded global generator (the reference's
+            # determinism contract: utils.py set_seed -> torch RNG ->
+            # sampler); default_rng(None) would use OS entropy and make
+            # training batch order irreproducible. One global draw per
+            # shuffling loader mirrors the torch consumption pattern.
+            seed = int(np.random.randint(0, 2**31 - 1))
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
