@@ -16,6 +16,7 @@ one big batched matmul (MXU) — the TPU-idiomatic recurrence shape.
 """
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Callable, Tuple
@@ -129,10 +130,52 @@ def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:
 
         if pallas_pool.supported(x, window):
             return pallas_pool.max_pool_1d(x, window)
+    if os.environ.get("ADAA_POOL_EQMASK") != "0":
+        return _max_pool_1d_eqmask(x, window)
     b, l, c = x.shape
     l2 = l // window
     x = x[:, : l2 * window, :]
     return x.reshape(b, l2, window, c).max(axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_1d_eqmask(x: jax.Array, window: int) -> jax.Array:
+    """reshape-max pool with an equality-mask backward (round 5).
+
+    jnp.max's VJP normalizes the cotangent across exact ties (lax
+    reduce-chooser rule), which costs an extra tie-count reduction +
+    divide pass over the full (B, L, C) tensor; at RawNet3 layer1's
+    (64, 6435, 1024) bf16 that pass is ~40% of the pool's fwd+bwd
+    (13.4 -> 8.2 ms measured, profile_pool_r5.json). This backward
+    routes g to every element equal to the window max WITHOUT the
+    normalization — identical wherever the max is unique (ties on
+    continuous activations are measure-zero; torch's MaxPool routes to
+    a single argmax on ties, so neither form matches torch there).
+    ADAA_POOL_EQMASK=0 restores the tie-splitting jnp.max VJP.
+    """
+    b, l, c = x.shape
+    l2 = l // window
+    return x[:, : l2 * window, :].reshape(b, l2, window, c).max(axis=2)
+
+
+def _eqmask_fwd(x, window):
+    y = _max_pool_1d_eqmask(x, window)
+    return y, (x, y)
+
+
+def _eqmask_bwd(window, res, g):
+    x, y = res
+    b, l, c = x.shape
+    l2 = l // window
+    x2 = x[:, : l2 * window, :].reshape(b, l2, window, c)
+    dx = jnp.where(x2 == y[:, :, None, :], g[:, :, None, :],
+                   jnp.zeros((), g.dtype)).reshape(b, l2 * window, c)
+    if l2 * window < l:
+        dx = jnp.pad(dx, ((0, 0), (0, l - l2 * window), (0, 0)))
+    return (dx.astype(x.dtype),)
+
+
+_max_pool_1d_eqmask.defvjp(_eqmask_fwd, _eqmask_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,40 @@ def test_supported_gates():
         jnp.zeros((2, 40, 96), jnp.bfloat16), 5)
     assert not pallas_pool.supported(  # row count not 16-tileable
         jnp.zeros((2, 35, 128), jnp.bfloat16), 5)
+
+
+# ---------------------------------------------------------------------------
+# eqmask backward (models/layers._max_pool_1d_eqmask, round 5)
+# ---------------------------------------------------------------------------
+
+def test_eqmask_pool_forward_and_backward_match_default(monkeypatch):
+    """The eqmask pool (default) == tie-splitting jnp.max pool on
+    tie-free data: same forward, same input cotangent; remainder
+    truncation (L % window != 0) zero-pads the tail gradient."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, 17, 8)).astype(np.float32))
+
+    def loss(xx):
+        return (layers.max_pool_1d(xx, 5).astype(jnp.float32) ** 2).sum()
+
+    monkeypatch.setenv("ADAA_POOL_EQMASK", "0")
+    ref_y = layers.max_pool_1d(x, 5)
+    ref_g = jax.grad(loss)(x)
+    monkeypatch.delenv("ADAA_POOL_EQMASK")
+    got_y = layers.max_pool_1d(x, 5)
+    got_g = jax.grad(loss)(x)
+    assert jnp.array_equal(got_y, ref_y)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(got_g)[:, 15:, :].max() == 0.0  # truncated tail
+
+
+def test_eqmask_pool_tie_routing_documented():
+    """On an exact tie the eqmask backward routes the FULL cotangent to
+    every tied element (no normalization) — the documented deviation
+    from jnp.max's even split (torch routes to a single argmax)."""
+    from adaa_tpu.models.layers import _max_pool_1d_eqmask
+
+    x = jnp.zeros((1, 4, 1), jnp.float32)  # all tied inside the window
+    g = jax.grad(lambda a: _max_pool_1d_eqmask(a, 4).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g).ravel(), [1, 1, 1, 1])
