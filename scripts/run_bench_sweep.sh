@@ -54,6 +54,7 @@ case $s in
   pool_r5)       run2 profile_pool_r5 python scripts/profiling/profile_pool_r5.py ;;
   strategies)    run2 profile_strategies python scripts/profiling/profile_strategies_r5.py ;;
   fgsm_bisect)   run2 fgsm_bisect python scripts/profiling/fgsm_compile_bisect.py ;;
+  fab_merged)    run2 fab_merged python scripts/profiling/profile_fab_merged_r5.py ;;
   effectiveness) run2 effectiveness python scripts/bench_effectiveness.py ;;
   *) echo "unknown stage $s"; exit 1 ;;
 esac
