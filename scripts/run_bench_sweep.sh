@@ -50,6 +50,7 @@ case $s in
                  run2 square_b256 python scripts/bench_attacks.py --attacks Square --batch 256 ;;
   rawnet256)     run2 rawnet_pgd_b256 python scripts/bench_attacks.py --model rawnet3 --attacks PGD --batch 256 ;;
   floor)         run2 profile_floor python scripts/profiling/profile_floor_r5.py ;;
+  rawnet_floor)  run2 profile_rawnet_floor python scripts/profiling/profile_rawnet_floor_r5.py ;;
   s2d)           run2 profile_s2d python scripts/profiling/profile_s2d_r5.py ;;
   pool_r5)       run2 profile_pool_r5 python scripts/profiling/profile_pool_r5.py ;;
   strategies)    run2 profile_strategies python scripts/profiling/profile_strategies_r5.py ;;
