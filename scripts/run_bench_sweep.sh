@@ -49,6 +49,7 @@ case $s in
   blackbox)      run2 bench_blackbox python scripts/bench_attacks.py --attacks OnePixel MultiAttack AutoAttack
                  run2 square_b256 python scripts/bench_attacks.py --attacks Square --batch 256 ;;
   rawnet256)     run2 rawnet_pgd_b256 python scripts/bench_attacks.py --model rawnet3 --attacks PGD --batch 256 ;;
+  rawnet128)     run2 rawnet_pgd_b128 python scripts/bench_attacks.py --model rawnet3 --attacks PGD --batch 128 ;;
   floor)         run2 profile_floor python scripts/profiling/profile_floor_r5.py ;;
   rawnet_floor)  run2 profile_rawnet_floor python scripts/profiling/profile_rawnet_floor_r5.py ;;
   s2d)           run2 profile_s2d python scripts/profiling/profile_s2d_r5.py ;;
