@@ -54,6 +54,7 @@ case $s in
   rawnet_floor)  run2 profile_rawnet_floor python scripts/profiling/profile_rawnet_floor_r5.py ;;
   s2d)           run2 profile_s2d python scripts/profiling/profile_s2d_r5.py ;;
   pool_r5)       run2 profile_pool_r5 python scripts/profiling/profile_pool_r5.py ;;
+  mfmpool)       run2 profile_mfmpool python scripts/profiling/profile_mfmpool_r5.py ;;
   strategies)    run2 profile_strategies python scripts/profiling/profile_strategies_r5.py ;;
   fgsm_bisect)   run2 fgsm_bisect python scripts/profiling/fgsm_compile_bisect.py ;;
   fab_merged)    run2 fab_merged python scripts/profiling/profile_fab_merged_r5.py ;;
