@@ -99,16 +99,39 @@ def _resolve(name):
     return stock[name]
 
 
-def _flops_per_example(jitted, batch, *example_args):
-    """XLA-cost-analysis FLOPs of the compiled program per example."""
+def _flops_per_example(fn, batch, *example_args, while_trip=1):
+    """Scan-aware analytic MXU FLOPs per example (adaa_tpu.utils.flops).
+
+    Replaces the first r5 sweep's ``compiled.cost_analysis()`` method:
+    XLA's HloCostAnalysis counts a while/scan BODY ONCE regardless of
+    trip count, so every iterative attack underreported 10-100x (the
+    sweep recorded PGD-10 at 2.196e9 FLOPs/ex vs FGSM's 2.186e9 — one
+    step, not ten). The jaxpr walk multiplies scan bodies by their
+    static length; ``while_trip`` supplies CW's early-stop bound (its
+    one ``while_loop``; the bench workload runs to the bound). Tracing
+    is host-only — no device, no compile. The Pallas fused layer-0 is
+    swapped for its XLA twin during the trace (identical math; jaxprs
+    can't see inside a pallas_call).
+    """
+    import os
+
+    from adaa_tpu.utils.flops import count_flops
+
+    saved = os.environ.get("ADAA_FUSED_LCNN")
+    os.environ["ADAA_FUSED_LCNN"] = "0"
     try:
-        cost = jitted.lower(*example_args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0) or 0.0)
-        return flops / batch if flops > 0 else None
+        rep = count_flops(fn, *example_args, while_trip=while_trip)
     except Exception:
         return None
+    finally:
+        if saved is None:
+            os.environ.pop("ADAA_FUSED_LCNN", None)
+        else:
+            os.environ["ADAA_FUSED_LCNN"] = saved
+    if rep.get("has_pallas") or rep.get("unknown_hops"):
+        return None  # opaque kernels would silently undercount
+    flops = rep["flops"]
+    return flops / batch if flops > 0 else None
 
 
 def main():
@@ -160,10 +183,11 @@ def main():
         fn, params = _resolve(name)
         atk = fn(logits_fn, **params)
 
-        @jax.jit
-        def attack_batch(x, y, key, atk=atk):
+        def attack_plain(x, y, key, atk=atk):
             x01, mn, mx = attack_core.to_minmax(x)
             return attack_core.revert_minmax(atk(x01, y, key), mn, mx)
+
+        attack_batch = jax.jit(attack_plain)
 
         # pre-split keys OUTSIDE the timed loop: each host-side split is
         # its own device program whose tunnel dispatch stalls the
@@ -185,7 +209,11 @@ def main():
 
         ms = dt / args.iters * 1e3
         ex_s = args.batch * args.iters / dt
-        fpe = _flops_per_example(attack_batch, args.batch, x, y, keys[0])
+        fpe = _flops_per_example(
+            attack_plain, args.batch, x, y, keys[0],
+            while_trip=params.get("steps", 1) if isinstance(params, dict)
+            else 1,
+        )
         row_key = prefix + name + (
             f"@b{args.batch}" if args.batch != 64 else "") + args.key_suffix
         results[row_key] = {
