@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import random
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -177,6 +178,10 @@ class AdversarialGDTrainer(GDTrainer):
             # post-step update, trainer.py:544-557; only the sampling of
             # batch i+1 sees weights through batch i-1 instead of i)
             pending: List[Tuple[jax.Array, Optional[int], int]] = []
+            # ADAA_EAGER_LOSS_PULL=1 restores the round-4 blocking pull
+            # (the profiling A/B for the lagged-pull claim,
+            # scripts/profiling/profile_strategies_r5.py)
+            lag = 0 if os.environ.get("ADAA_EAGER_LOSS_PULL") == "1" else 1
 
             for i, batch in enumerate(train_loader):
                 batch_x = shard(batch[0])
@@ -203,7 +208,7 @@ class AdversarialGDTrainer(GDTrainer):
                     pending.append(
                         (loss, getattr(self, "last_adv_attack", None), i)
                     )
-                    if len(pending) > 1:
+                    if len(pending) > lag:
                         dloss, idx, pi = pending.pop(0)
                         self.update_adv_attack(
                             float(dloss), batch_pred=None, iter=pi,
