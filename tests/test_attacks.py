@@ -153,6 +153,35 @@ class TestFAB:
         ratio = linf[moved] / np.maximum(dist[moved], 1e-9)
         assert np.median(ratio) < 3.0
 
+    def test_fab_merged_agrees_with_base(self, toy, monkeypatch):
+        """ADAA_FAB_MERGED=1 (1 fwd+bwd per step vs fwd+bwd+fwd) must
+        fool the same points at near-identical minimal norms — the
+        on-chip agreement measured in profile_fab_merged_r5.json, pinned
+        here on the exactly-solvable linear toy."""
+        logits_fn, x, y = toy
+        params = {"n_classes": 2, "eta": 1.05}
+        base = attacks.build_attack("FAB", logits_fn, params)
+        monkeypatch.setenv("ADAA_FAB_MERGED", "1")
+        merged = attacks.build_attack("FAB", logits_fn, params)
+        monkeypatch.delenv("ADAA_FAB_MERGED")
+
+        key = jax.random.PRNGKey(5)
+        adv_b = np.asarray(jax.jit(base)(x, y, key))
+        adv_m = np.asarray(jax.jit(merged)(x, y, key))
+        xs = np.asarray(x)
+        d_b = np.abs(adv_b - xs).max(axis=1)
+        d_m = np.abs(adv_m - xs).max(axis=1)
+        moved_b, moved_m = d_b > 1e-6, d_m > 1e-6
+        assert (moved_b == moved_m).all()
+        both = moved_b & moved_m
+        assert both.any()
+        ratio = d_m[both] / np.maximum(d_b[both], 1e-9)
+        assert np.median(ratio) == pytest.approx(1.0, abs=0.05)
+        # merged outputs stay in the box and only fool, like base
+        still_correct = np.asarray(
+            core.predicted_label(logits_fn(jnp.asarray(adv_m))) == y)
+        assert not (moved_m & still_correct).any()
+
 
 class TestOnePixel:
     def test_l0_budget(self, toy):
