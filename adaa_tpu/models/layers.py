@@ -65,11 +65,42 @@ def max_feature_map(x: jax.Array, axis: int = -1) -> jax.Array:
     """MFM maxout over channel halves (reference: src/models/lcnn.py:49-95).
 
     Channels-last layout: max(x[..., :C/2], x[..., C/2:]).
+
+    ``ADAA_MFM_EQMASK=1`` selects the equality-mask backward (same
+    rationale as ``_max_pool_1d_eqmask`` below: jnp.maximum's VJP
+    splits the cotangent 0.5/0.5 across exact ties via an extra select
+    chain; the eqmask form routes g to every tied element instead —
+    identical gradients wherever the max is unique). Off by default
+    until the flagship A/B measures it (profile_mfmpool_r5.json).
     """
+    if axis == -1 and os.environ.get("ADAA_MFM_EQMASK") == "1":
+        return _max_feature_map_eqmask(x)
     c = x.shape[axis]
     assert c % 2 == 0, "MFM needs an even channel count"
     a, b = jnp.split(x, 2, axis=axis)
     return jnp.maximum(a, b)
+
+
+@jax.custom_vjp
+def _max_feature_map_eqmask(x: jax.Array) -> jax.Array:
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.maximum(a, b)
+
+
+def _mfm_eq_fwd(x):
+    y = _max_feature_map_eqmask(x)
+    return y, (x, y)
+
+
+def _mfm_eq_bwd(res, g):
+    x, y = res
+    a, b = jnp.split(x, 2, axis=-1)
+    da = jnp.where(a == y, g, jnp.zeros((), g.dtype))
+    db = jnp.where(b == y, g, jnp.zeros((), g.dtype))
+    return (jnp.concatenate([da, db], axis=-1).astype(x.dtype),)
+
+
+_max_feature_map_eqmask.defvjp(_mfm_eq_fwd, _mfm_eq_bwd)
 
 
 def max_pool_2d(x: jax.Array, window: int = 2, stride: int = None) -> jax.Array:
@@ -99,13 +130,51 @@ def mfm_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:
     routes once over the 8-candidate set instead of hierarchically).
     Saves the (B, H, W, C/2) MFM intermediate's HBM round-trip in both
     directions on the attack hot path.
+
+    ``ADAA_MFM_EQMASK=1`` selects the equality-mask backward over the
+    8-candidate set (see :func:`max_feature_map`); off by default until
+    the flagship A/B measures it.
     """
+    if window == 2 and os.environ.get("ADAA_MFM_EQMASK") == "1":
+        return _mfm_pool_2d_eqmask(x)
     b, h, w, c = x.shape
     assert c % 2 == 0, "MFM needs an even channel count"
     h2, w2 = h // window, w // window
     x = x[:, : h2 * window, : w2 * window, :]
     x = x.reshape(b, h2, window, w2, window, 2, c // 2)
     return x.max(axis=(2, 4, 5))
+
+
+@jax.custom_vjp
+def _mfm_pool_2d_eqmask(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    assert c % 2 == 0, "MFM needs an even channel count"
+    h2, w2 = h // 2, w // 2
+    x = x[:, : h2 * 2, : w2 * 2, :]
+    return x.reshape(b, h2, 2, w2, 2, 2, c // 2).max(axis=(2, 4, 5))
+
+
+def _mfm_pool_eq_fwd(x):
+    y = _mfm_pool_2d_eqmask(x)
+    return y, (x, y)
+
+
+def _mfm_pool_eq_bwd(res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    x8 = x[:, : h2 * 2, : w2 * 2, :].reshape(b, h2, 2, w2, 2, 2, c // 2)
+    dx = jnp.where(
+        x8 == y[:, :, None, :, None, None, :],
+        g[:, :, None, :, None, None, :],
+        jnp.zeros((), g.dtype),
+    ).reshape(b, h2 * 2, w2 * 2, c)
+    if h2 * 2 < h or w2 * 2 < w:
+        dx = jnp.pad(dx, ((0, 0), (0, h - h2 * 2), (0, w - w2 * 2), (0, 0)))
+    return (dx.astype(x.dtype),)
+
+
+_mfm_pool_2d_eqmask.defvjp(_mfm_pool_eq_fwd, _mfm_pool_eq_bwd)
 
 
 def max_pool_1d(x: jax.Array, window: int, stride: int = None) -> jax.Array:

@@ -121,7 +121,9 @@ def _flops_per_example(fn, batch, *example_args, while_trip=1):
     os.environ["ADAA_FUSED_LCNN"] = "0"
     try:
         rep = count_flops(fn, *example_args, while_trip=while_trip)
-    except Exception:
+    except Exception as e:  # row ships without the field, but say why
+        print(f"[flops] count failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
         return None
     finally:
         if saved is None:
@@ -129,6 +131,9 @@ def _flops_per_example(fn, batch, *example_args, while_trip=1):
         else:
             os.environ["ADAA_FUSED_LCNN"] = saved
     if rep.get("has_pallas") or rep.get("unknown_hops"):
+        print(f"[flops] opaque ops, skipping field: "
+              f"pallas={rep.get('has_pallas')} "
+              f"unknown={rep.get('unknown_hops')}", file=sys.stderr)
         return None  # opaque kernels would silently undercount
     flops = rep["flops"]
     return flops / batch if flops > 0 else None

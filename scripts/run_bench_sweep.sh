@@ -33,6 +33,9 @@ for s in $stage; do
 case $s in
   flagship)      run2 bench.py python bench.py ;;
   flagship512)   run2 bench512 python bench.py --batch 512 ;;
+  flagship_eqmask) run2 bench_eqmask env ADAA_MFM_EQMASK=1 python bench.py --skip-baseline ;;
+  effectiveness_eqmask) run2 effectiveness_eqmask env ADAA_MFM_EQMASK=1 python scripts/bench_effectiveness.py ;;
+  fab_merged_row) run2 fab_merged_b256 env ADAA_FAB_MERGED=1 python scripts/bench_attacks.py --attacks FAB --batch 256 --key-suffix "+merged" ;;
   profile)       run2 profile_r3b python scripts/profiling/profile_r3b.py ;;
   layers18)      run2 profile_layers18 python scripts/profiling/profile_layers18.py ;;
   layers_r4)     run2 profile_layers_r4 python scripts/profiling/profile_layers_r4.py ;;

@@ -231,3 +231,47 @@ def test_mfm_pool_2d_matches_composition(rng):
     g_got = jax.grad(lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mfm_eqmask_matches_base(rng, monkeypatch):
+    """ADAA_MFM_EQMASK=1 (equality-mask backward, no tie-splitting
+    pass): values identical, gradients identical away from exact ties
+    (continuous random input has none)."""
+    from adaa_tpu.models import layers
+
+    x = jnp.asarray(rng.standard_normal((3, 10, 6, 8)).astype(np.float32))
+    x_odd = x[:, :9, :5]
+
+    base = {
+        "mfm": np.asarray(layers.max_feature_map(x)),
+        "pool": np.asarray(layers.mfm_pool_2d(x)),
+        "pool_odd": np.asarray(layers.mfm_pool_2d(x_odd)),
+        "g_mfm": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.max_feature_map(a) ** 2))(x)),
+        "g_pool": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x)),
+        "g_pool_odd": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x_odd)),
+    }
+    monkeypatch.setenv("ADAA_MFM_EQMASK", "1")
+    eq = {
+        "mfm": np.asarray(layers.max_feature_map(x)),
+        "pool": np.asarray(layers.mfm_pool_2d(x)),
+        "pool_odd": np.asarray(layers.mfm_pool_2d(x_odd)),
+        "g_mfm": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.max_feature_map(a) ** 2))(x)),
+        "g_pool": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x)),
+        "g_pool_odd": np.asarray(jax.grad(
+            lambda a: jnp.sum(layers.mfm_pool_2d(a) ** 2))(x_odd)),
+    }
+    for k in base:
+        np.testing.assert_allclose(eq[k], base[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+
+    # on an exact tie the eqmask form routes g to every tied element
+    # (documented deviation; jnp.max splits the cotangent instead)
+    x_tie = jnp.ones((1, 2, 2, 4), jnp.float32)
+    g_tie = jax.grad(lambda a: jnp.sum(layers.mfm_pool_2d(a)))(x_tie)
+    np.testing.assert_array_equal(np.asarray(g_tie),
+                                  np.ones_like(np.asarray(g_tie)))
