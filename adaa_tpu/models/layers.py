@@ -66,14 +66,17 @@ def max_feature_map(x: jax.Array, axis: int = -1) -> jax.Array:
 
     Channels-last layout: max(x[..., :C/2], x[..., C/2:]).
 
-    ``ADAA_MFM_EQMASK=1`` selects the equality-mask backward (same
-    rationale as ``_max_pool_1d_eqmask`` below: jnp.maximum's VJP
-    splits the cotangent 0.5/0.5 across exact ties via an extra select
-    chain; the eqmask form routes g to every tied element instead —
-    identical gradients wherever the max is unique). Off by default
-    until the flagship A/B measures it (profile_mfmpool_r5.json).
+    The equality-mask backward is the default (same rationale as
+    ``_max_pool_1d_eqmask`` below: jnp.maximum's VJP splits the
+    cotangent 0.5/0.5 across exact ties via an extra select chain; the
+    eqmask form routes g to every tied element instead — identical
+    gradients wherever the max is unique). Measured on the flagship
+    A/B: 1256 -> 1380 ex/s PGD-10 @b256 together with the pooled form
+    below (two-pass, logs/bench_sweep_1787206020.log;
+    profile_mfmpool_r5.json has the per-layer rows).
+    ``ADAA_MFM_EQMASK=0`` restores the tie-splitting VJP.
     """
-    if axis == -1 and os.environ.get("ADAA_MFM_EQMASK") == "1":
+    if axis == -1 and os.environ.get("ADAA_MFM_EQMASK") != "0":
         return _max_feature_map_eqmask(x)
     c = x.shape[axis]
     assert c % 2 == 0, "MFM needs an even channel count"
@@ -131,11 +134,11 @@ def mfm_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:
     Saves the (B, H, W, C/2) MFM intermediate's HBM round-trip in both
     directions on the attack hot path.
 
-    ``ADAA_MFM_EQMASK=1`` selects the equality-mask backward over the
-    8-candidate set (see :func:`max_feature_map`); off by default until
-    the flagship A/B measures it.
+    The equality-mask backward over the 8-candidate set is the default
+    (see :func:`max_feature_map`; ``ADAA_MFM_EQMASK=0`` restores the
+    tie-splitting VJP).
     """
-    if window == 2 and os.environ.get("ADAA_MFM_EQMASK") == "1":
+    if window == 2 and os.environ.get("ADAA_MFM_EQMASK") != "0":
         return _mfm_pool_2d_eqmask(x)
     b, h, w, c = x.shape
     assert c % 2 == 0, "MFM needs an even channel count"

@@ -234,14 +234,16 @@ def test_mfm_pool_2d_matches_composition(rng):
 
 
 def test_mfm_eqmask_matches_base(rng, monkeypatch):
-    """ADAA_MFM_EQMASK=1 (equality-mask backward, no tie-splitting
-    pass): values identical, gradients identical away from exact ties
-    (continuous random input has none)."""
+    """The default equality-mask backward (no tie-splitting pass) vs
+    ADAA_MFM_EQMASK=0 (jnp.max VJP): values identical, gradients
+    identical away from exact ties (continuous random input has
+    none)."""
     from adaa_tpu.models import layers
 
     x = jnp.asarray(rng.standard_normal((3, 10, 6, 8)).astype(np.float32))
     x_odd = x[:, :9, :5]
 
+    monkeypatch.setenv("ADAA_MFM_EQMASK", "0")
     base = {
         "mfm": np.asarray(layers.max_feature_map(x)),
         "pool": np.asarray(layers.mfm_pool_2d(x)),
