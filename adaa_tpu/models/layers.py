@@ -114,14 +114,57 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int = None) -> jax.Array:
     per call on TPU; the reshape formulation differentiates as a cheap
     compare-and-select. Requires window == stride (all reference models
     use square non-overlapping pools).
+
+    ``ADAA_POOL_EQMASK`` (default on — the same switch as the 1D pool)
+    selects the equality-mask backward: jnp.max's VJP spends an extra
+    tie-count+divide pass splitting the cotangent across exact ties;
+    the eqmask form routes g to every tied element instead — identical
+    gradients wherever the window max is unique (see
+    ``_max_pool_1d_eqmask``). SpecRNet is the main user (4 pools on the
+    attack hot path; LCNN's pools run through ``mfm_pool_2d``).
     """
     stride = stride or window
     assert window == stride, "non-overlapping pools only"
+    if os.environ.get("ADAA_POOL_EQMASK") != "0":
+        return _max_pool_2d_eqmask(x, window)
     b, h, w, c = x.shape
     h2, w2 = h // window, w // window
     x = x[:, : h2 * window, : w2 * window, :]
     x = x.reshape(b, h2, window, w2, window, c)
     return x.max(axis=(2, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_2d_eqmask(x: jax.Array, window: int) -> jax.Array:
+    b, h, w, c = x.shape
+    h2, w2 = h // window, w // window
+    return (x[:, : h2 * window, : w2 * window, :]
+            .reshape(b, h2, window, w2, window, c).max(axis=(2, 4)))
+
+
+def _eqmask2d_fwd(x, window):
+    y = _max_pool_2d_eqmask(x, window)
+    return y, (x, y)
+
+
+def _eqmask2d_bwd(window, res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    h2, w2 = h // window, w // window
+    x6 = x[:, : h2 * window, : w2 * window, :].reshape(
+        b, h2, window, w2, window, c)
+    dx = jnp.where(
+        x6 == y[:, :, None, :, None, :],
+        g[:, :, None, :, None, :],
+        jnp.zeros((), g.dtype),
+    ).reshape(b, h2 * window, w2 * window, c)
+    if h2 * window < h or w2 * window < w:
+        dx = jnp.pad(
+            dx, ((0, 0), (0, h - h2 * window), (0, w - w2 * window), (0, 0)))
+    return (dx.astype(x.dtype),)
+
+
+_max_pool_2d_eqmask.defvjp(_eqmask2d_fwd, _eqmask2d_bwd)
 
 
 def mfm_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:

@@ -277,3 +277,41 @@ def test_mfm_eqmask_matches_base(rng, monkeypatch):
     g_tie = jax.grad(lambda a: jnp.sum(layers.mfm_pool_2d(a)))(x_tie)
     np.testing.assert_array_equal(np.asarray(g_tie),
                                   np.ones_like(np.asarray(g_tie)))
+
+
+def test_max_pool_2d_eqmask_matches_base(rng, monkeypatch):
+    """The default equality-mask backward for max_pool_2d (SpecRNet's
+    pools) vs ADAA_POOL_EQMASK=0 (jnp.max VJP): values identical,
+    gradients identical away from exact ties."""
+    from adaa_tpu.models import layers
+
+    x = jnp.asarray(rng.standard_normal((3, 10, 6, 8)).astype(np.float32))
+    x_odd = x[:, :9, :5]
+
+    def snap():
+        return {
+            "pool": np.asarray(layers.max_pool_2d(x)),
+            "pool_odd": np.asarray(layers.max_pool_2d(x_odd)),
+            "pool_w3": np.asarray(layers.max_pool_2d(x, window=3)),
+            "g": np.asarray(jax.grad(
+                lambda a: jnp.sum(layers.max_pool_2d(a) ** 2))(x)),
+            "g_odd": np.asarray(jax.grad(
+                lambda a: jnp.sum(layers.max_pool_2d(a) ** 2))(x_odd)),
+            "g_w3": np.asarray(jax.grad(
+                lambda a: jnp.sum(layers.max_pool_2d(a, window=3) ** 2))(x)),
+        }
+
+    monkeypatch.setenv("ADAA_POOL_EQMASK", "0")
+    base = snap()
+    monkeypatch.setenv("ADAA_POOL_EQMASK", "1")
+    eq = snap()
+    for k in base:
+        np.testing.assert_allclose(eq[k], base[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+
+    # exact tie: eqmask routes g to every tied element (same documented
+    # deviation as the 1D pool; torch routes to a single argmax)
+    x_tie = jnp.ones((1, 2, 2, 4), jnp.float32)
+    g_tie = jax.grad(lambda a: jnp.sum(layers.max_pool_2d(a)))(x_tie)
+    np.testing.assert_array_equal(np.asarray(g_tie),
+                                  np.ones_like(np.asarray(g_tie)))
